@@ -1,0 +1,54 @@
+"""Synchronous label propagation (SURVEY.md §2.7).
+
+Semantics (frozen, matched by the unrolled SQL oracle in __ray_entry__):
+labels start as vertex ids; each iteration, every vertex with >=1
+in-neighbour adopts the most frequent in-neighbour label from the
+*previous* iteration, ties broken by smallest label; isolated vertices keep
+their label. Fixed iteration count (synchronous LP need not converge —
+it can 2-cycle — so the operator is defined by its iteration count).
+
+Exchange: sparse (dst,label,count) triples, pre-counted sender-side
+(the partial-aggregation pattern: groupby(dst,label).count folded into the
+scatter, SURVEY.md §2.7 'Label propagation').
+"""
+from __future__ import annotations
+
+import time
+
+import ray
+
+from ..ckpt import CheckpointManager
+
+
+def label_propagation(
+    graph,
+    iters: int = 5,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+):
+    actors = graph.actors
+    P = graph.num_parts
+    start_iter = 0
+    if resume and checkpoint is not None and (last := checkpoint.latest_complete()) is not None:
+        parts, _ = checkpoint.load(last)
+        ray.get([a.lp_set.remote(arr) for a, (_, arr) in zip(actors, parts)])
+        start_iter = last + 1
+    else:
+        ray.get([a.lp_init.remote() for a in actors])
+
+    for it in range(start_iter, iters):
+        t0 = time.perf_counter()
+        scat = [a.lp_scatter.options(num_returns=P).remote() for a in actors]
+        changed = ray.get(
+            [actors[p].lp_gather.remote(*[scat[q][p] for q in range(P)]) for p in range(P)]
+        )
+        if checkpoint is not None and it % checkpoint_every == 0:
+            parts = ray.get([a.lp_get.remote() for a in actors])
+            checkpoint.save(
+                it,
+                parts,
+                metrics={"changed": int(sum(changed)), "superstep_sec": time.perf_counter() - t0},
+                lineage={"op": "label_propagation", "iter": it, "num_parts": P},
+            )
+    return graph.gather_vertex_array("lp_get")

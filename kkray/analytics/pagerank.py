@@ -1,0 +1,75 @@
+"""PageRank as gather-scatter supersteps over the shard pool (SURVEY.md §2.7).
+
+Each superstep is one round of the reference's ``distributed_execute``
+pattern (reference include/graph.hpp:704-918) re-expressed Ray-natively:
+scatter returns P+1 object refs per shard (``num_returns``), the driver
+routes *refs* (never arrays) to the gather calls, and the global dangling
+mass / convergence delta are tiny scalar reductions — the Allreduce
+analogue (reference include/graph.hpp:915-917).
+
+Semantics: rank' = (1-d)/N + d * (Σ_in rank/outdeg + dangling/N).
+Converges to the same fixpoint as scipy power iteration (oracle in tests,
+allclose 1e-6 per BASELINE.json).
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import ray
+
+from ..ckpt import CheckpointManager
+
+
+def pagerank(
+    graph,
+    damping: float = 0.85,
+    max_iters: int = 50,
+    tol: float | None = 1e-9,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> np.ndarray:
+    """Returns the dense rank vector (sums to 1). Set tol=None for a fixed
+    iteration count (the SQL-oracle-comparable mode)."""
+    actors = graph.actors
+    P = graph.num_parts
+    start_iter = 0
+    if resume and checkpoint is not None:
+        last = checkpoint.latest_complete()
+        if last is not None:
+            parts, _ = checkpoint.load(last)
+            ray.get([a.pr_set.remote(arr) for a, (_, arr) in zip(actors, parts)])
+            start_iter = last + 1
+        else:
+            ray.get([a.pr_init.remote() for a in actors])
+    else:
+        ray.get([a.pr_init.remote() for a in actors])
+
+    for it in range(start_iter, max_iters):
+        t0 = time.perf_counter()
+        scat = [a.pr_scatter.options(num_returns=P + 1).remote() for a in actors]
+        dangling_total = sum(ray.get([refs[P] for refs in scat]))
+        deltas = ray.get(
+            [
+                actors[p].pr_gather.remote(damping, dangling_total, *[scat[q][p] for q in range(P)])
+                for p in range(P)
+            ]
+        )
+        delta = float(sum(deltas))
+        if checkpoint is not None and (it % checkpoint_every == 0 or (tol is not None and delta < tol) or it == max_iters - 1):
+            parts = ray.get([a.pr_get.remote() for a in actors])
+            checkpoint.save(
+                it,
+                parts,
+                metrics={
+                    "delta_l1": delta,
+                    "dangling": dangling_total,
+                    "superstep_sec": time.perf_counter() - t0,
+                    "edges": graph.e_num,
+                },
+                lineage={"op": "pagerank", "damping": damping, "iter": it, "num_parts": P},
+            )
+        if tol is not None and delta < tol:
+            break
+    return graph.gather_vertex_array("pr_get")

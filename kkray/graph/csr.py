@@ -1,0 +1,88 @@
+"""Per-partition CSR shard — numpy arrays, built once, read-only afterwards.
+
+The Ray-native analogue of the reference's ``EdgeContainer`` counting-sort
+CSR build (reference include/graph.hpp:309-330) plus the node2vec adjacency
+sort (reference src/apps/node2vec.hpp:122-125): one ``np.lexsort`` gives both
+src-major grouping and dst-sorted adjacency lists, enabling binary-search
+neighbour-membership probes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class CSRShard:
+    lo: int  # first owned vertex id (global)
+    hi: int  # one past last owned vertex id
+    indptr: np.ndarray  # int64, len (hi-lo)+1
+    indices: np.ndarray  # int64 neighbour ids, dst-sorted within each vertex
+    weights: np.ndarray | None = None  # float64, aligned with indices
+    etypes: np.ndarray | None = None  # int32, aligned with indices
+
+    @property
+    def size(self) -> int:
+        return self.hi - self.lo
+
+    @property
+    def num_edges(self) -> int:
+        return len(self.indices)
+
+    def out_degree(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    def neighbors(self, v: int) -> np.ndarray:
+        s, e = self.indptr[v - self.lo], self.indptr[v - self.lo + 1]
+        return self.indices[s:e]
+
+    def contains_edges(self, v_local: np.ndarray, x: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe: is x[i] a neighbour of local vertex
+        v_local[i]?  The semi-join probe of the reference's node2vec query
+        (reference src/apps/node2vec.hpp:158-166, std::binary_search) —
+        done for a whole query batch with one composite-key searchsorted.
+
+        Requires indices < 2^32 and size < 2^31 (composite uint64 key).
+        The >2^32-vertex path needs a two-level probe — documented limit.
+        """
+        comp = self._composite()
+        if len(comp) == 0:
+            return np.zeros(len(v_local), dtype=bool)
+        keys = (np.asarray(v_local).astype(np.uint64) << np.uint64(32)) | np.asarray(x).astype(np.uint64)
+        pos = np.minimum(np.searchsorted(comp, keys), len(comp) - 1)
+        return comp[pos] == keys
+
+    def _composite(self) -> np.ndarray:
+        comp = getattr(self, "_comp_cache", None)
+        if comp is None:
+            comp = (
+                np.repeat(np.arange(self.size, dtype=np.uint64), self.out_degree()) << np.uint64(32)
+            ) | self.indices.astype(np.uint64)
+            object.__setattr__(self, "_comp_cache", comp)
+        return comp
+
+
+def build_csr(
+    lo: int,
+    hi: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray | None = None,
+    etype: np.ndarray | None = None,
+) -> CSRShard:
+    """Build the shard CSR from routed edge arrays (every src in [lo,hi))."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    order = np.lexsort((dst, src))  # src-major, dst-minor: CSR + sorted adjacency in one pass
+    src_s, dst_s = src[order], dst[order]
+    deg = np.bincount(src_s - lo, minlength=hi - lo)
+    indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    return CSRShard(
+        lo=lo,
+        hi=hi,
+        indptr=indptr,
+        indices=dst_s,
+        weights=np.asarray(weight, dtype=np.float64)[order] if weight is not None else None,
+        etypes=np.asarray(etype, dtype=np.int32)[order] if etype is not None else None,
+    )

@@ -1,0 +1,298 @@
+"""GraphShard — the per-partition stateful stage.
+
+One shard owns a contiguous, degree-aware vertex range and its out-edge CSR
+(the reference's per-rank ``EdgeContainer`` + vertex arrays, reference
+include/graph.hpp:49-96, built once and reused across supersteps and across
+multiple jobs, reference include/walk.hpp:738-781). Exposed as a Ray actor
+(``GraphShard = ray.remote(ShardCore)``) — this is the one place the Dataset
+API cannot express the semantics: a shared, reusable, mutable index.
+
+Message exchange is the Ray-native version of the reference's ``emit`` +
+``distributed_execute`` superstep (reference include/graph.hpp:611-918):
+each shard *pre-aggregates per target partition* (sender-side combiner —
+min/sum/count folded before the shuffle, so message volume is O(unique dst)
+not O(edges)), returns one object per target partition via
+``num_returns=P``, and the driver routes refs — arrays never touch the
+driver.
+"""
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from .csr import CSRShard, build_csr
+from .partition import part_of
+
+
+class ShardCore:
+    """Pure-python core (actor-free) — unit-testable directly."""
+
+    def __init__(
+        self,
+        part_id: int,
+        boundaries: np.ndarray,
+        v_num: int,
+        src: np.ndarray,
+        dst: np.ndarray,
+        weight: np.ndarray | None = None,
+        etype: np.ndarray | None = None,
+        seed: int = 42,
+    ):
+        self.part_id = int(part_id)
+        self.boundaries = np.asarray(boundaries, dtype=np.int64)
+        self.num_parts = len(self.boundaries) - 1
+        self.v_num = int(v_num)
+        self.lo = int(self.boundaries[part_id])
+        self.hi = int(self.boundaries[part_id + 1])
+        self.seed = seed
+        self.csr: CSRShard = build_csr(self.lo, self.hi, src, dst, weight, etype)
+        self.outdeg = self.csr.out_degree()
+        self._build_routing()
+        # lazily-built sampling structures (per walk spec)
+        self._wcum: np.ndarray | None = None
+        # per-job vertex state
+        self.rank: np.ndarray | None = None
+        self.label: np.ndarray | None = None
+
+    # ------------------------------------------------------------------ #
+    # routing precomputes: for each target partition, the edge slice that
+    # lands there, pre-sorted by destination so segment reductions
+    # (reduceat) give sender-side combining for free.
+    # ------------------------------------------------------------------ #
+    def _build_routing(self):
+        dst = self.csr.indices
+        src_idx = np.repeat(np.arange(self.csr.size, dtype=np.int64), self.outdeg)
+        dpart = part_of(dst, self.boundaries)
+        order = np.argsort(dpart, kind="stable")
+        self._route_bounds = np.searchsorted(dpart[order], np.arange(self.num_parts + 1))
+        # within each part slice, sort edges by destination for reduceat
+        self._r_dst_local = np.empty(len(dst), dtype=np.int64)
+        self._r_src_idx = np.empty(len(dst), dtype=np.int64)
+        self._seg_starts: list[np.ndarray] = []
+        self._seg_dsts: list[np.ndarray] = []
+        for p in range(self.num_parts):
+            s, e = self._route_bounds[p], self._route_bounds[p + 1]
+            sl = order[s:e]
+            d_loc = dst[sl] - self.boundaries[p]
+            o2 = np.argsort(d_loc, kind="stable")
+            sl = sl[o2]
+            d_loc = d_loc[o2]
+            self._r_dst_local[s:e] = d_loc
+            self._r_src_idx[s:e] = src_idx[sl]
+            if e > s:
+                starts = np.concatenate([[0], np.flatnonzero(np.diff(d_loc)) + 1])
+            else:
+                starts = np.empty(0, dtype=np.int64)
+            self._seg_starts.append(starts.astype(np.int64))
+            self._seg_dsts.append(d_loc[starts] if e > s else np.empty(0, dtype=np.int64))
+
+    def part_size(self, p: int) -> int:
+        return int(self.boundaries[p + 1] - self.boundaries[p])
+
+    def stats(self) -> dict:
+        return {
+            "part": self.part_id,
+            "lo": self.lo,
+            "hi": self.hi,
+            "vertices": self.csr.size,
+            "edges": self.csr.num_edges,
+        }
+
+    def ready(self) -> bool:
+        return True
+
+    def deg_get(self):
+        return self.lo, self.outdeg
+
+    # ------------------------- PageRank ------------------------------- #
+    def pr_init(self, value: float | None = None):
+        self.rank = np.full(self.csr.size, (1.0 / self.v_num) if value is None else value, dtype=np.float64)
+
+    def pr_scatter(self):
+        """Returns P dense partial-sum arrays (one per target partition) +
+        the local dangling-rank scalar. Sender-side combining: each edge's
+        contribution rank(src)/outdeg(src) is bincount-folded into the
+        target's dense vector here, so the exchange moves O(V) not O(E)."""
+        contrib = np.where(self.outdeg > 0, self.rank / np.maximum(self.outdeg, 1), 0.0)
+        per_edge = contrib[self._r_src_idx]
+        out = []
+        for p in range(self.num_parts):
+            s, e = self._route_bounds[p], self._route_bounds[p + 1]
+            out.append(np.bincount(self._r_dst_local[s:e], weights=per_edge[s:e], minlength=self.part_size(p)))
+        dangling = float(self.rank[self.outdeg == 0].sum())
+        return (*out, dangling)
+
+    def pr_gather(self, damping: float, dangling_total: float, *partials) -> float:
+        """new = (1-d)/N + d*(Σ partials + dangling/N); returns L1 delta."""
+        acc = np.zeros(self.csr.size, dtype=np.float64)
+        for part in partials:
+            acc += part
+        new = (1.0 - damping) / self.v_num + damping * (acc + dangling_total / self.v_num)
+        delta = float(np.abs(new - self.rank).sum())
+        self.rank = new
+        return delta
+
+    def pr_get(self):
+        return self.lo, self.rank
+
+    def pr_set(self, values: np.ndarray):
+        self.rank = np.asarray(values, dtype=np.float64).copy()
+
+    # ------------------ Connected components (min-label) --------------- #
+    def cc_init(self):
+        self.label = np.arange(self.lo, self.hi, dtype=np.int64)
+
+    def cc_scatter(self):
+        """Per target partition: (unique_dst_local, min source-label) —
+        segment-min via reduceat (sender-side combiner)."""
+        vals_all = self.label[self._r_src_idx]
+        out = []
+        for p in range(self.num_parts):
+            s, e = self._route_bounds[p], self._route_bounds[p + 1]
+            starts = self._seg_starts[p]
+            if e > s and len(starts):
+                mins = np.minimum.reduceat(vals_all[s:e], starts)
+            else:
+                mins = np.empty(0, dtype=np.int64)
+            out.append((self._seg_dsts[p], mins))
+        return tuple(out)
+
+    def cc_gather(self, *partials) -> int:
+        new = self.label.copy()
+        for dsts, mins in partials:
+            if len(dsts):
+                np.minimum.at(new, dsts, mins)
+        changed = int((new != self.label).sum())
+        self.label = new
+        return changed
+
+    def cc_get(self):
+        return self.lo, self.label
+
+    def cc_set(self, values: np.ndarray):
+        self.label = np.asarray(values, dtype=np.int64).copy()
+
+    # ---------------- Label propagation (majority label) ---------------- #
+    def lp_init(self):
+        self.label = np.arange(self.lo, self.hi, dtype=np.int64)
+
+    def lp_scatter(self):
+        """Per target partition: sparse (dst_local, label, count) triples —
+        the per-batch (dst,label) pre-count that SURVEY.md §2.7 calls for."""
+        labs_all = self.label[self._r_src_idx]
+        out = []
+        for p in range(self.num_parts):
+            s, e = self._route_bounds[p], self._route_bounds[p + 1]
+            d = self._r_dst_local[s:e]
+            l = labs_all[s:e]
+            if len(d) == 0:
+                out.append((d, l, np.empty(0, dtype=np.int64)))
+                continue
+            o = np.lexsort((l, d))
+            d, l = d[o], l[o]
+            new_seg = np.concatenate([[True], (np.diff(d) != 0) | (np.diff(l) != 0)])
+            starts = np.flatnonzero(new_seg)
+            counts = np.diff(np.concatenate([starts, [len(d)]]))
+            out.append((d[starts], l[starts], counts))
+        return tuple(out)
+
+    def lp_gather(self, *partials) -> int:
+        """Merge (dst,label,count) partials; per dst adopt argmax-count
+        label, ties -> smallest label; isolated vertices keep their label.
+        Synchronous update (all reads see the previous iteration)."""
+        ds = np.concatenate([p[0] for p in partials]) if partials else np.empty(0, dtype=np.int64)
+        if len(ds) == 0:
+            return 0
+        ls = np.concatenate([p[1] for p in partials])
+        cs = np.concatenate([p[2] for p in partials])
+        o = np.lexsort((ls, ds))
+        ds, ls, cs = ds[o], ls[o], cs[o]
+        new_seg = np.concatenate([[True], (np.diff(ds) != 0) | (np.diff(ls) != 0)])
+        starts = np.flatnonzero(new_seg)
+        tot = np.add.reduceat(cs, starts)
+        ds_u, ls_u = ds[starts], ls[starts]
+        # pick per dst: max count, tie -> min label. lexsort keys: last is primary.
+        sel = np.lexsort((ls_u, -tot, ds_u))
+        ds_s = ds_u[sel]
+        first = np.concatenate([[True], np.diff(ds_s) != 0])
+        winners_dst = ds_s[first]
+        winners_lab = ls_u[sel][first]
+        new = self.label.copy()
+        new[winners_dst] = winners_lab
+        changed = int((new != self.label).sum())
+        self.label = new
+        return changed
+
+    lp_get = cc_get
+    lp_set = cc_set
+
+    # ----------------------- Triangle counting ------------------------- #
+    # Degree-ordered orientation + wedge-join (SURVEY.md §2.7): keep edges
+    # u->v with rank[u] < rank[v] (rank = dense (degree,id) order), generate
+    # wedges (v,w) from each oriented adjacency, probe edge (v,w) at v's
+    # partition with the composite-key searchsorted of CSRShard.
+    def tri_build(self, rank_arr: np.ndarray):
+        """rank_arr: dense global (deg,id) rank, broadcast via ray.put once
+        (sandbox path; the >RAM path is a rank join — documented)."""
+        self._tri_rank = np.asarray(rank_arr)
+        src_idx = np.repeat(np.arange(self.csr.size, dtype=np.int64), self.outdeg)
+        u_glob = src_idx + self.lo
+        keep = self._tri_rank[u_glob] < self._tri_rank[self.csr.indices]
+        o_src = src_idx[keep]
+        o_dst = self.csr.indices[keep]
+        # adjacency sorted by neighbour *rank* so wedge pairs are oriented
+        order = np.lexsort((self._tri_rank[o_dst], o_src))
+        o_src, o_dst = o_src[order], o_dst[order]
+        self._tri_deg = np.bincount(o_src, minlength=self.csr.size)
+        self._tri_indptr = np.concatenate([[0], np.cumsum(self._tri_deg)]).astype(np.int64)
+        self._tri_adj = o_dst
+        # membership structure keyed by (local_v, rank(w)) — rank-sorted CSR
+        comp = (o_src.astype(np.uint64) << np.uint64(32)) | self._tri_rank[o_dst].astype(np.uint64)
+        self._tri_comp = comp  # already sorted (src-major, rank-minor)
+        return int(len(o_dst))
+
+    def tri_wedges(self):
+        """Enumerate oriented wedges (v,w) per local u; bucket queries by
+        part(v). Returns P (v_global, w_rank) pair-arrays."""
+        deg = self._tri_deg
+        adj = self._tri_adj
+        indptr = self._tri_indptr
+        npairs = (deg * (deg - 1)) // 2
+        total = int(npairs.sum())
+        v_arr = np.empty(total, dtype=np.int64)
+        w_arr = np.empty(total, dtype=np.int64)
+        pos = 0
+        # vectorized per-vertex pair expansion (python loop over local
+        # vertices with deg>=2 only; inner work is numpy)
+        for u in np.flatnonzero(deg >= 2):
+            a = adj[indptr[u] : indptr[u + 1]]
+            k = len(a)
+            iu, ju = np.triu_indices(k, 1)
+            n = len(iu)
+            v_arr[pos : pos + n] = a[iu]
+            w_arr[pos : pos + n] = a[ju]
+            pos += n
+        w_rank = self._tri_rank[w_arr]
+        vpart = part_of(v_arr, self.boundaries)
+        order = np.argsort(vpart, kind="stable")
+        bounds = np.searchsorted(vpart[order], np.arange(self.num_parts + 1))
+        out = []
+        for p in range(self.num_parts):
+            s, e = bounds[p], bounds[p + 1]
+            out.append((v_arr[order[s:e]], w_rank[order[s:e]]))
+        return tuple(out)
+
+    def tri_count(self, *query_batches) -> int:
+        """Count how many queried (v, w_rank) oriented edges exist locally."""
+        total = 0
+        comp = self._tri_comp
+        for v_glob, w_rank in query_batches:
+            if len(v_glob) == 0 or len(comp) == 0:
+                continue
+            keys = ((v_glob - self.lo).astype(np.uint64) << np.uint64(32)) | w_rank.astype(np.uint64)
+            pos = np.minimum(np.searchsorted(comp, keys), len(comp) - 1)
+            total += int((comp[pos] == keys).sum())
+        return total
+
+
+GraphShard = ray.remote(ShardCore)

@@ -1,0 +1,75 @@
+"""Iterative analytics vs pure-python oracles (SURVEY.md §5 carry-over:
+PageRank allclose 1e-6+, CC/LP exact, triangles exact)."""
+import numpy as np
+import pytest
+
+from kkray.graph import Graph
+from kkray.analytics import connected_components, label_propagation, pagerank, triangle_count
+
+from graphgen import cc_oracle, lp_oracle, pagerank_oracle, random_edges, triangle_oracle
+
+
+@pytest.mark.parametrize("v,e,parts", [(50, 120, 3), (300, 2000, 4), (1000, 8000, 7)])
+def test_pagerank_matches_power_iteration(ray_session, v, e, parts):
+    src, dst = random_edges(v, e, seed=v)
+    with Graph.from_arrays(src, dst, num_parts=parts) as g:
+        got = pagerank(g, damping=0.85, max_iters=200, tol=1e-12)
+    exp = pagerank_oracle(src, dst, v)
+    assert np.allclose(got, exp, atol=1e-9)
+    assert abs(got.sum() - 1.0) < 1e-8
+
+
+def test_pagerank_with_dangling_and_isolated(ray_session):
+    # explicit dangling sink + isolated vertex (v=5 never referenced)
+    src = np.array([0, 1, 2, 0], dtype=np.int64)
+    dst = np.array([1, 2, 3, 3], dtype=np.int64)
+    v = 6
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        got = pagerank(g, max_iters=300, tol=1e-13)
+    exp = pagerank_oracle(src, dst, v, iters=500)
+    assert np.allclose(got, exp, atol=1e-9)
+
+
+@pytest.mark.parametrize("v,e,parts", [(60, 50, 3), (500, 700, 5)])
+def test_connected_components_exact(ray_session, v, e, parts):
+    src, dst = random_edges(v, e, seed=7 + v, undirected=True)
+    with Graph.from_arrays(src, dst, num_parts=parts, v_num=v) as g:
+        got = connected_components(g)
+    exp = cc_oracle(src, dst, v)
+    assert np.array_equal(got, exp)
+
+
+@pytest.mark.parametrize("v,e,iters", [(40, 100, 3), (200, 900, 5)])
+def test_label_propagation_exact(ray_session, v, e, iters):
+    src, dst = random_edges(v, e, seed=13 + v, undirected=True)
+    with Graph.from_arrays(src, dst, num_parts=4, v_num=v) as g:
+        got = label_propagation(g, iters=iters)
+    exp = lp_oracle(src, dst, v, iters)
+    assert np.array_equal(got, exp)
+
+
+@pytest.mark.parametrize("v,e,parts", [(30, 120, 3), (150, 1500, 4), (400, 6000, 6)])
+def test_triangle_count_exact(ray_session, v, e, parts):
+    src, dst = random_edges(v, e, seed=29 + v, undirected=True)
+    with Graph.from_arrays(src, dst, num_parts=parts, v_num=v) as g:
+        got = triangle_count(g)
+    assert got == triangle_oracle(src, dst, v)
+
+
+def test_degree_aware_boundaries_balance():
+    from kkray.graph import degree_aware_boundaries
+
+    deg = np.zeros(1000, dtype=np.int64)
+    deg[0] = 100_000  # extreme hub
+    b = degree_aware_boundaries(deg, 8)
+    assert b[0] == 0 and b[-1] == 1000
+    assert np.all(np.diff(b) >= 0)
+    # hub isolated into a narrow partition
+    assert b[1] <= 2
+
+
+def test_empty_graph(ray_session):
+    with Graph.from_arrays(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), num_parts=2, v_num=4) as g:
+        r = pagerank(g, max_iters=5)
+        assert np.allclose(r, 0.25)
+        assert triangle_count(g) == 0

@@ -1,0 +1,65 @@
+"""Checkpoint/resume equivalence (SURVEY.md §5: run N supersteps == run
+N/2, kill, resume N/2) and the Dataset build path round-trip."""
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from kkray.ckpt import CheckpointManager
+from kkray.graph import Graph
+from kkray.analytics import connected_components, pagerank
+
+from graphgen import pagerank_oracle, random_edges
+
+
+def test_pagerank_checkpoint_resume_equivalence(ray_session, tmp_path):
+    v, e = 200, 1200
+    src, dst = random_edges(v, e, seed=99)
+    # full run: 10 fixed iterations
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        full = pagerank(g, max_iters=10, tol=None)
+    # interrupted run: 5 iterations, checkpointed, then a fresh Graph resumes
+    ck = CheckpointManager(str(tmp_path), "pr")
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        pagerank(g, max_iters=5, tol=None, checkpoint=ck)
+    assert ck.latest_complete() == 4
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        resumed = pagerank(g, max_iters=10, tol=None, checkpoint=ck, resume=True)
+    assert np.allclose(full, resumed, atol=0, rtol=0)  # bit-identical replay
+
+
+def test_checkpoint_manifest_is_commit_point(ray_session, tmp_path):
+    ck = CheckpointManager(str(tmp_path), "x")
+    ck.save(0, [(0, np.arange(4.0))], metrics={"m": 1}, lineage={"op": "t"})
+    # a later, incomplete superstep (no manifest) must be ignored
+    import os
+
+    os.makedirs(ck._iter_dir(1), exist_ok=True)
+    assert ck.latest_complete() == 0
+    parts, manifest = ck.load(0)
+    assert manifest["lineage"]["op"] == "t"
+    assert np.array_equal(parts[0][1], np.arange(4.0))
+
+
+def test_cc_resume(ray_session, tmp_path):
+    v, e = 150, 130
+    src, dst = random_edges(v, e, seed=3, undirected=True)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        full = connected_components(g)
+    ck = CheckpointManager(str(tmp_path), "cc")
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        connected_components(g, max_iters=2, checkpoint=ck, checkpoint_every=1)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        resumed = connected_components(g, checkpoint=ck, resume=True)
+    assert np.array_equal(full, resumed)
+
+
+def test_graph_from_dataset_matches_from_arrays(ray_session):
+    v, e = 300, 2500
+    src, dst = random_edges(v, e, seed=17)
+    tbl = pa.table({"src": pa.array(src, pa.uint64()), "dst": pa.array(dst, pa.uint64())})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    with Graph.from_dataset(ds, num_parts=4, v_num=v) as g1:
+        r1 = pagerank(g1, max_iters=30, tol=None)
+    exp = pagerank_oracle(src, dst, v, iters=30, tol=0)
+    assert np.allclose(r1, exp, atol=1e-12)
+    assert g1.e_num == len(src)
