@@ -20,11 +20,12 @@ from __future__ import annotations
 import numpy as np
 import ray
 
+from .shard_walk import WalkMixin
 from .csr import CSRShard, build_csr
 from .partition import part_of
 
 
-class ShardCore:
+class ShardCore(WalkMixin):
     """Pure-python core (actor-free) — unit-testable directly."""
 
     def __init__(

@@ -1,0 +1,449 @@
+"""WalkMixin — per-shard walker execution, mixed into ShardCore.
+
+Re-expresses the reference's walk loops Ray-natively:
+
+* first order (reference include/walk.hpp:891-1080): the *local-continue*
+  inner loop is preserved — a walker keeps stepping inside the actor until
+  it terminates or crosses a partition boundary (SURVEY.md §7.4 calls this
+  essential; naive one-hop supersteps would be ~length x slower). All inner
+  work is vectorized numpy over the shrinking active set; rejection retries
+  (metapath) resample WITHOUT re-drawing the extension/termination test, so
+  the sampled distribution matches the reference's retry semantics
+  (walk.hpp:1030-1040).
+* second order / node2vec (reference include/walk.hpp:1082-1381): one step
+  attempt per superstep in three phases — propose (with the lower/upper
+  bound pre-acceptance shortcuts and the cand==prev / prev-is-local fast
+  paths), remote membership query (the reference's stateQuery routed to the
+  previous vertex's owner, node2vec.hpp:155-166), resolve (accept -> move,
+  reject -> retry same vertex next superstep, walk.hpp:1361-1364).
+
+RNG: counter-based Philox keyed (seed, part, superstep, inner-iteration) —
+deterministic replay for tests and resume (SURVEY.md §7.4), unlike the
+reference's random_device seeding (util.hpp:45-70).
+
+Samplers: ``cdf`` = global-cumulative searchsorted (O(log E), fully
+vectorized); ``alias`` = per-vertex alias buckets (reference
+init_alias_tables, walk.hpp:538-652) built once per walk_begin, O(1) draws.
+Both sample candidates proportional to the static component.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .partition import part_of
+from ..utils import rng_for
+
+_EMPTY = lambda: {"wid": np.empty(0, np.int64), "step": np.empty(0, np.int64), "cur": np.empty(0, np.int64)}
+
+
+def _concat(batches: list[dict]) -> dict:
+    if not batches:
+        return {}
+    keys = batches[0].keys()
+    return {k: np.concatenate([b[k] for b in batches]) for k in keys}
+
+
+class WalkMixin:
+    # ------------------------------------------------------------------ #
+    def walk_begin(self, spec: dict, seed: int, collect_paths: bool = True):
+        self._wspec = spec
+        self._wseed = int(seed)
+        self._collect = collect_paths
+        self._fp: list[tuple] = []  # footprint chunks (wid, step, vertex)
+        self._frontier: dict = {}
+        self._parked = None
+        kind = spec["kind"]
+        if spec.get("weighted"):
+            w = self.csr.weights
+            if w is None:
+                raise ValueError("weighted walk on an unweighted graph")
+            self._wext = np.concatenate([[0.0], np.cumsum(w, dtype=np.float64)])
+            if spec.get("sampler") == "alias":
+                self._build_alias(w)
+        if kind == "metapath":
+            et = self.csr.etypes
+            if et is None:
+                raise ValueError("metapath walk needs etype column")
+            vmask = np.zeros(self.csr.size, dtype=np.int64)
+            src_idx = np.repeat(np.arange(self.csr.size, dtype=np.int64), self.outdeg)
+            np.bitwise_or.at(vmask, src_idx, np.int64(1) << et.astype(np.int64))
+            self._vtypemask = vmask
+            schemes = spec["schemes"]
+            self._scheme_len = np.array([len(s) for s in schemes], dtype=np.int64)
+            self._scheme_off = np.concatenate([[0], np.cumsum(self._scheme_len)]).astype(np.int64)
+            self._scheme_masks = np.array([m for s in schemes for m in s], dtype=np.int64)
+        return True
+
+    def _build_alias(self, w: np.ndarray):
+        """Per-vertex Vose alias construction (reference walk.hpp:538-652).
+        Python loop over vertices, numpy within each adjacency slice."""
+        E = len(w)
+        prob = np.ones(E, dtype=np.float64)
+        alias = np.arange(E, dtype=np.int64)
+        indptr = self.csr.indptr
+        for v in range(self.csr.size):
+            s, e = indptr[v], indptr[v + 1]
+            d = e - s
+            if d <= 1:
+                continue
+            ww = w[s:e]
+            scaled = ww * (d / ww.sum())
+            small = [i for i in range(d) if scaled[i] < 1.0]
+            large = [i for i in range(d) if scaled[i] >= 1.0]
+            sc = scaled.copy()
+            while small and large:
+                sm = small.pop()
+                lg = large[-1]
+                prob[s + sm] = sc[sm]
+                alias[s + sm] = s + lg
+                sc[lg] -= 1.0 - sc[sm]
+                if sc[lg] < 1.0:
+                    large.pop()
+                    small.append(lg)
+        self._alias_prob = prob
+        self._alias_idx = alias
+
+    # ------------------------------------------------------------------ #
+    def walk_seed(self, walkers: dict):
+        """Ingest initial walkers (already routed to this part); record the
+        step-0 footprints (reference seeds footprints at init,
+        walk.hpp:815-822)."""
+        walkers = {k: np.asarray(v) for k, v in walkers.items()}
+        if self._collect and len(walkers["wid"]):
+            self._fp.append((walkers["wid"].copy(), walkers["step"].copy(), walkers["cur"].copy()))
+        self._frontier = walkers
+        return int(len(walkers["wid"]))
+
+    def _take_frontier(self, incoming) -> dict:
+        batches = [b for b in incoming if b is not None and len(b.get("wid", ()))]
+        if self._frontier and len(self._frontier.get("wid", ())):
+            batches.insert(0, self._frontier)
+        self._frontier = {}
+        return _concat(batches)
+
+    def _sample(self, cur_local: np.ndarray, rng) -> np.ndarray:
+        """Candidate CSR positions ~ static component."""
+        deg = self.outdeg[cur_local]
+        r = rng.random(len(cur_local))
+        base = self.csr.indptr[cur_local]
+        if not self._wspec.get("weighted"):
+            return base + np.minimum((r * deg).astype(np.int64), deg - 1)
+        if self._wspec.get("sampler") == "alias":
+            bucket = base + np.minimum((r * deg).astype(np.int64), deg - 1)
+            r2 = rng.random(len(cur_local))
+            return np.where(r2 < self._alias_prob[bucket], bucket, self._alias_idx[bucket])
+        lo_w = self._wext[base]
+        hi_w = self._wext[self.csr.indptr[cur_local + 1]]
+        target = lo_w + r * (hi_w - lo_w)
+        pos = np.searchsorted(self._wext, target, side="right") - 1
+        return np.clip(pos, base, self.csr.indptr[cur_local + 1] - 1)
+
+    # ---------------------- first-order superstep ---------------------- #
+    def walk_step(self, superstep: int, *incoming):
+        """Process all local walkers to termination or emigration.
+        Returns P per-partition emigrant batches + moved count."""
+        spec = self._wspec
+        kind = spec["kind"]
+        W = self._take_frontier(incoming)
+        out_chunks: list[list[dict]] = [[] for _ in range(self.num_parts)]
+        if not W:
+            return (*[_EMPTY() for _ in range(self.num_parts)], 0)
+        wid, step, cur = W["wid"], W["step"], W["cur"]
+        scheme = W.get("scheme")
+        mstate = W.get("mstate")
+        need_ext = np.ones(len(wid), dtype=bool)
+        inner = 0
+        moved = 0
+        while len(wid):
+            rng = rng_for(self._wseed, self.part_id, superstep, inner)
+            cur_local = cur - self.lo
+            deg = self.outdeg[cur_local]
+            alive = deg > 0  # degree-0 termination (reference walk.hpp:956-960)
+            if kind == "truncated":
+                alive &= step < spec["length"]
+            elif kind == "geometric":
+                draw = rng.random(len(wid))
+                alive &= np.where(need_ext, draw < spec["alpha"], True)
+            elif kind == "metapath":
+                alive &= step < spec["length"]
+                allowed = self._scheme_masks[self._scheme_off[scheme] + mstate]
+                alive &= (self._vtypemask[cur_local] & allowed) != 0
+            # note: rows with need_ext=False (rejection retries) already
+            # passed this superstep's extension test — geometric doesn't
+            # re-draw for them, preserving the retry distribution
+            if not alive.all():
+                keep = alive
+                wid, step, cur = wid[keep], step[keep], cur[keep]
+                need_ext = need_ext[keep]
+                if scheme is not None:
+                    scheme, mstate = scheme[keep], mstate[keep]
+                if not len(wid):
+                    break
+                cur_local = cur - self.lo
+            pos = self._sample(cur_local, rng)
+            cand = self.csr.indices[pos]
+            if kind == "metapath":
+                allowed = self._scheme_masks[self._scheme_off[scheme] + mstate]
+                ok = ((np.int64(1) << self.csr.etypes[pos].astype(np.int64)) & allowed) != 0
+            else:
+                ok = np.ones(len(wid), dtype=bool)
+            # accepted rows advance; rejected retry next inner iteration
+            a = ok
+            if a.any():
+                wid_a, cand_a = wid[a], cand[a]
+                step_a = step[a] + 1
+                if self._collect:
+                    self._fp.append((wid_a.copy(), step_a.copy(), cand_a.copy()))
+                cpart = part_of(cand_a, self.boundaries)
+                stay = cpart == self.part_id
+                if (~stay).any():
+                    mov = ~stay
+                    moved += int(mov.sum())
+                    mp = cpart[mov]
+                    order = np.argsort(mp, kind="stable")
+                    bounds = np.searchsorted(mp[order], np.arange(self.num_parts + 1))
+                    for p in range(self.num_parts):
+                        s, e = bounds[p], bounds[p + 1]
+                        if e > s:
+                            sl = order[s:e]
+                            chunk = {
+                                "wid": wid_a[mov][sl],
+                                "step": step_a[mov][sl],
+                                "cur": cand_a[mov][sl],
+                            }
+                            if scheme is not None:
+                                sa = scheme[a][mov][sl]
+                                ma = (mstate[a][mov][sl] + 1) % self._scheme_len[sa]
+                                chunk["scheme"], chunk["mstate"] = sa, ma
+                            out_chunks[p].append(chunk)
+                # stayers continue the local loop
+                ns = stay
+                new_wid = wid_a[ns]
+                new_step = step_a[ns]
+                new_cur = cand_a[ns]
+                if scheme is not None:
+                    new_scheme = scheme[a][ns]
+                    new_mstate = (mstate[a][ns] + 1) % self._scheme_len[new_scheme]
+            else:
+                new_wid = np.empty(0, np.int64)
+                new_step = new_cur = new_wid
+                if scheme is not None:
+                    new_scheme = new_mstate = new_wid
+            r = ~a
+            wid = np.concatenate([new_wid, wid[r]])
+            step = np.concatenate([new_step, step[r]])
+            cur = np.concatenate([new_cur, cur[r]])
+            need_ext = np.concatenate([np.ones(len(new_wid), dtype=bool), np.zeros(int(r.sum()), dtype=bool)])
+            if scheme is not None:
+                scheme = np.concatenate([new_scheme, scheme[r]])
+                mstate = np.concatenate([new_mstate, mstate[r]])
+            inner += 1
+        out = []
+        for p in range(self.num_parts):
+            out.append(_concat(out_chunks[p]) if out_chunks[p] else _EMPTY())
+        return (*out, moved)
+
+    # ---------------------- second order (node2vec) --------------------- #
+    def n2v_stepA(self, superstep: int, *incoming):
+        """Propose + locally-resolvable accept/reject. Returns P emigrant
+        batches, P query batches (prev, cand per parked walker), counts."""
+        spec = self._wspec
+        W = self._take_frontier(incoming)
+        P = self.num_parts
+        if not W:
+            empty_q = [{"prev": np.empty(0, np.int64), "cand": np.empty(0, np.int64)} for _ in range(P)]
+            self._parked = None
+            return (*[_EMPTY() for _ in range(P)], *empty_q, {"moved": 0, "parked": 0, "local": 0})
+        wid, step, cur, prev = W["wid"], W["step"], W["cur"], W["prev"]
+        rng = rng_for(self._wseed, self.part_id, superstep, 0)
+        cur_local = cur - self.lo
+        deg = self.outdeg[cur_local]
+        alive = (deg > 0) & (step < spec["length"])
+        wid, step, cur, prev = wid[alive], step[alive], cur[alive], prev[alive]
+        cur_local = cur - self.lo
+        n = len(wid)
+        counts = {"moved": 0, "parked": 0, "local": 0}
+        if n == 0:
+            self._parked = None
+            return (
+                *[_EMPTY() for _ in range(P)],
+                *[{"prev": np.empty(0, np.int64), "cand": np.empty(0, np.int64)} for _ in range(P)],
+                counts,
+            )
+        # in-superstep retry loop: a resolved-rejected walker re-proposes
+        # immediately (bounded rounds) instead of waiting a full driver
+        # round — iid proposals, so the sampled distribution is unchanged
+        # (the reference's retry-until-accept, walk.hpp:1030-1040, 1361-1364)
+        RETRY = 16
+        acc_rows: list[tuple] = []
+        park_rows: list[tuple] = []
+        rnd = 0
+        while n and rnd < RETRY:
+            rng = rng_for(self._wseed, self.part_id, superstep, rnd + 1)
+            cur_local = cur - self.lo
+            pos = self._sample(cur_local, rng)
+            cand = self.csr.indices[pos]
+            dart = rng.random(n) * self._n2v_ub()
+            accept, resolved = self._n2v_resolve(prev, cand, dart)
+            a = accept & resolved
+            if a.any():
+                acc_rows.append((wid[a], step[a], cur[a], prev[a], cand[a]))
+            pk = ~resolved
+            if pk.any():
+                park_rows.append((wid[pk], step[pk], cur[pk], prev[pk], cand[pk], dart[pk]))
+            rej = resolved & ~accept
+            wid, step, cur, prev = wid[rej], step[rej], cur[rej], prev[rej]
+            n = len(wid)
+            rnd += 1
+        if n:  # exhausted local retries -> next superstep
+            self._append_frontier({"wid": wid, "step": step, "cur": cur, "prev": prev})
+        # park unresolved walkers, bucketed by part(prev)
+        qbatches = [{"prev": np.empty(0, np.int64), "cand": np.empty(0, np.int64)} for _ in range(P)]
+        if park_rows:
+            pw = [np.concatenate([r[i] for r in park_rows]) for i in range(6)]
+            ppart = part_of(pw[3], self.boundaries)
+            order = np.argsort(ppart, kind="stable")
+            self._parked = {
+                "wid": pw[0][order],
+                "step": pw[1][order],
+                "cur": pw[2][order],
+                "prev": pw[3][order],
+                "cand": pw[4][order],
+                "dart": pw[5][order],
+                "bounds": np.searchsorted(ppart[order], np.arange(P + 1)),
+            }
+            b = self._parked["bounds"]
+            for p in range(P):
+                qbatches[p] = {"prev": self._parked["prev"][b[p] : b[p + 1]], "cand": self._parked["cand"][b[p] : b[p + 1]]}
+            counts["parked"] = int(len(pw[0]))
+        else:
+            self._parked = None
+        if acc_rows:
+            aw = [np.concatenate([r[i] for r in acc_rows]) for i in range(5)]
+            ones = np.ones(len(aw[0]), dtype=bool)
+            out, moved, _ = self._n2v_apply(aw[0], aw[1], aw[2], aw[3], aw[4], ones, ones)
+        else:
+            out, moved = [_EMPTY() | {"prev": np.empty(0, np.int64)} for _ in range(P)], 0
+        counts["moved"] = moved
+        counts["local"] = int(len(self._frontier.get("wid", ())))
+        return (*out, *qbatches, counts)
+
+    def _n2v_ub(self) -> float:
+        spec = self._wspec
+        return max(1.0 / spec["p"], 1.0, 1.0 / spec["q"])
+
+    def _n2v_resolve(self, prev, cand, dart):
+        """Locally-decidable accept/reject (bound shortcuts + cand==prev +
+        prev-owned-here membership probe)."""
+        spec = self._wspec
+        inv_p, inv_q = 1.0 / spec["p"], 1.0 / spec["q"]
+        n = len(prev)
+        accept = np.zeros(n, dtype=bool)
+        resolved = np.zeros(n, dtype=bool)
+        first = prev < 0  # first hop: plain static walk (no dynamic comp)
+        accept |= first
+        resolved |= first
+        ret = (~resolved) & (cand == prev)
+        accept[ret] = dart[ret] <= inv_p
+        resolved |= ret
+        lo2, hi2 = min(1.0, inv_q), max(1.0, inv_q)
+        pre_acc = (~resolved) & (dart <= lo2)  # lower-bound pre-acceptance
+        accept |= pre_acc
+        resolved |= pre_acc
+        pre_rej = (~resolved) & (dart > hi2)
+        resolved |= pre_rej  # accept stays False
+        local_prev = (~resolved) & (part_of(prev, self.boundaries) == self.part_id)
+        if local_prev.any():
+            member = self.csr.contains_edges(prev[local_prev] - self.lo, cand[local_prev])
+            dyn = np.where(member, 1.0, inv_q)
+            accept[local_prev] = dart[local_prev] <= dyn
+            resolved[local_prev] = True
+        return accept, resolved
+
+    def _n2v_apply(self, wid, step, cur, prev, cand, accept, resolved):
+        """Move accepted walkers (footprint + route), keep rejected-resolved
+        as next-superstep retry frontier. Parked rows are excluded."""
+        P = self.num_parts
+        acc = accept & resolved
+        rej = resolved & ~accept
+        out = [_EMPTY() | {"prev": np.empty(0, np.int64)} for _ in range(P)]
+        moved = 0
+        if acc.any():
+            wid_a = wid[acc]
+            step_a = step[acc] + 1
+            cand_a = cand[acc]
+            prev_a = cur[acc]
+            if self._collect:
+                self._fp.append((wid_a.copy(), step_a.copy(), cand_a.copy()))
+            cpart = part_of(cand_a, self.boundaries)
+            stay = cpart == self.part_id
+            if stay.any():
+                st = {"wid": wid_a[stay], "step": step_a[stay], "cur": cand_a[stay], "prev": prev_a[stay]}
+                self._append_frontier(st)
+            mov = ~stay
+            moved = int(mov.sum())
+            if moved:
+                mp = cpart[mov]
+                order = np.argsort(mp, kind="stable")
+                bounds = np.searchsorted(mp[order], np.arange(P + 1))
+                for p in range(P):
+                    s, e = bounds[p], bounds[p + 1]
+                    if e > s:
+                        sl = order[s:e]
+                        out[p] = {
+                            "wid": wid_a[mov][sl],
+                            "step": step_a[mov][sl],
+                            "cur": cand_a[mov][sl],
+                            "prev": prev_a[mov][sl],
+                        }
+        if rej.any():  # retry same vertex next superstep (walk.hpp:1361-1364)
+            self._append_frontier({"wid": wid[rej], "step": step[rej], "cur": cur[rej], "prev": prev[rej]})
+        return out, moved, int(len(self._frontier.get("wid", ())))
+
+    def _append_frontier(self, batch: dict):
+        if self._frontier and len(self._frontier.get("wid", ())):
+            self._frontier = _concat([self._frontier, batch])
+        else:
+            self._frontier = batch
+
+    def n2v_respond(self, *query_batches):
+        """Answer membership queries addressed to this shard (the
+        respond_query_func round, reference walk.hpp:1277-1324)."""
+        out = []
+        for qb in query_batches:
+            prev, cand = qb["prev"], qb["cand"]
+            if len(prev) == 0:
+                out.append(np.empty(0, dtype=bool))
+                continue
+            out.append(self.csr.contains_edges(prev - self.lo, cand))
+        return tuple(out)
+
+    def n2v_stepB(self, *responses):
+        """Resolve parked walkers with membership responses (accept round,
+        reference walk.hpp:1326-1379)."""
+        P = self.num_parts
+        pk = self._parked
+        self._parked = None
+        if pk is None:
+            return (*[_EMPTY() | {"prev": np.empty(0, np.int64)} for _ in range(P)], {"moved": 0, "local": int(len(self._frontier.get("wid", ())))})
+        member = np.concatenate([np.asarray(r) for r in responses]) if responses else np.empty(0, bool)
+        inv_q = 1.0 / self._wspec["q"]
+        dyn = np.where(member, 1.0, inv_q)
+        accept = pk["dart"] <= dyn
+        resolved = np.ones(len(accept), dtype=bool)
+        out, moved, local = self._n2v_apply(pk["wid"], pk["step"], pk["cur"], pk["prev"], pk["cand"], accept, resolved)
+        return (*out, {"moved": moved, "local": local})
+
+    # ------------------------------------------------------------------ #
+    def walk_footprints(self):
+        """Return collected (wid, step, vertex) footprint arrays."""
+        if not self._fp:
+            return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+        w = np.concatenate([c[0] for c in self._fp])
+        s = np.concatenate([c[1] for c in self._fp])
+        v = np.concatenate([c[2] for c in self._fp])
+        return w, s, v
+
+    def walk_fp_clear(self):
+        self._fp = []
+        return True

@@ -1,0 +1,168 @@
+"""Walk driver: init walkers -> supersteps until the frontier drains ->
+footprints -> assembled paths.
+
+The superstep loop is the Dataset-free core exchange (walker batches are
+small dicts of numpy arrays moved as object refs between shard actors —
+the reference's ``distributed_execute`` message rounds, include/graph.hpp:704-918);
+path assembly is pure Ray Data: footprints Dataset -> groupby(walker) ->
+per-group step sort -> list column (replacing the reference's manual
+footprint shuffle + bucket sort, include/path.hpp:164-477).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..graph.partition import part_of
+from ..utils import rng_for
+from .spec import Node2vecSpec, TransitionSpec, WalkerSpec
+
+MAX_SUPERSTEPS = 100_000
+
+
+def _init_walkers(graph, wspec: WalkerSpec, seed: int) -> list[dict]:
+    """Vectorized walker init + routing (reference init_walkers
+    walk.hpp:440-497; equal dist walk.hpp:403-411 keeps the exact
+    ``i % v_num`` semantics for parity)."""
+    n = wspec.walker_num
+    wid = np.arange(n, dtype=np.int64)
+    if isinstance(wspec.start, np.ndarray):
+        start = wspec.start.astype(np.int64)
+        if len(start) != n:
+            start = start[wid % len(start)]
+    elif wspec.start == "equal":
+        start = wid % graph.v_num
+    elif wspec.start == "uniform":
+        start = rng_for(seed, 0xA11CE).integers(0, graph.v_num, n)
+    else:
+        raise ValueError(wspec.start)
+    parts = part_of(start, graph.boundaries)
+    order = np.argsort(parts, kind="stable")
+    bounds = np.searchsorted(parts[order], np.arange(graph.num_parts + 1))
+    out = []
+    for p in range(graph.num_parts):
+        sl = order[bounds[p] : bounds[p + 1]]
+        out.append({"wid": wid[sl], "step": np.zeros(len(sl), dtype=np.int64), "cur": start[sl]})
+    return out
+
+
+def random_walk(
+    graph,
+    wspec: WalkerSpec,
+    tspec: TransitionSpec | Node2vecSpec,
+    seed: int = 42,
+    collect_paths: bool = True,
+    return_dataset: bool = False,
+):
+    """Run a walk; returns assembled paths (see assemble_paths) or the raw
+    footprints Dataset. Stateless wrt the graph: multiple walks can run on
+    one loaded Graph (reference README.md:20 semantics)."""
+    actors = graph.actors
+    P = graph.num_parts
+    spec = tspec.to_dict()
+    ray.get([a.walk_begin.remote(spec, seed, collect_paths) for a in actors])
+    seeds = _init_walkers(graph, wspec, seed)
+    if spec["kind"] == "node2vec":
+        for s in seeds:
+            s["prev"] = np.full(len(s["wid"]), -1, dtype=np.int64)
+    elif spec["kind"] == "metapath":
+        n_schemes = len(spec["schemes"])
+        for s in seeds:
+            # scheme assignment: walker id round-robin (reference metapath
+            # walker_init_state, src/apps/metapath.hpp:70-90)
+            s["scheme"] = s["wid"] % n_schemes
+            s["mstate"] = np.zeros(len(s["wid"]), dtype=np.int64)
+    ray.get([a.walk_seed.remote(s) for a, s in zip(actors, seeds)])
+
+    if spec["kind"] == "node2vec":
+        _drive_second_order(actors, P)
+    else:
+        _drive_first_order(actors, P)
+
+    fps = ray.get([a.walk_footprints.remote() for a in actors])
+    w = np.concatenate([f[0] for f in fps])
+    s = np.concatenate([f[1] for f in fps])
+    v = np.concatenate([f[2] for f in fps])
+    tbl = pa.table({"walker_id": pa.array(w), "step": pa.array(s), "vertex": pa.array(v)})
+    ds = ray.data.from_arrow(tbl)
+    if return_dataset:
+        return ds
+    return assemble_paths(ds)
+
+
+def _drive_first_order(actors, P):
+    superstep = 0
+    incoming: list[list] = [[] for _ in range(P)]
+    while superstep < MAX_SUPERSTEPS:
+        refs = [
+            a.walk_step.options(num_returns=P + 1).remote(superstep, *incoming[p])
+            for p, a in enumerate(actors)
+        ]
+        moved = sum(ray.get([r[P] for r in refs]))
+        incoming = [[refs[q][p] for q in range(P)] for p in range(P)]
+        superstep += 1
+        if moved == 0:
+            break
+
+
+def _drive_second_order(actors, P):
+    superstep = 0
+    incoming: list[list] = [[] for _ in range(P)]
+    while superstep < MAX_SUPERSTEPS:
+        ra = [
+            a.n2v_stepA.options(num_returns=2 * P + 1).remote(superstep, *incoming[p])
+            for p, a in enumerate(actors)
+        ]
+        counts_a = ray.get([r[2 * P] for r in ra])
+        # query exchange: actor q's query batch for part p is ra[q][P+p]
+        rr = [
+            a.n2v_respond.options(num_returns=P).remote(*[ra[q][P + p] for q in range(P)])
+            for p, a in enumerate(actors)
+        ]
+        # responses for origin q from target p: rr[p][q]
+        rb = [
+            a.n2v_stepB.options(num_returns=P + 1).remote(*[rr[p][q] for p in range(P)])
+            for q, a in enumerate(actors)
+        ]
+        counts_b = ray.get([r[P] for r in rb])
+        # next-superstep walker batches: emigrants from stepA and stepB
+        incoming = [
+            [ra[q][p] for q in range(P)] + [rb[q][p] for q in range(P)] for p in range(P)
+        ]
+        active = (
+            sum(c["moved"] for c in counts_a)
+            + sum(c["moved"] + c["local"] for c in counts_b)
+        )
+        superstep += 1
+        if active == 0:
+            break
+
+
+def assemble_paths(footprints: ray.data.Dataset) -> ray.data.Dataset:
+    """footprints(walker_id, step, vertex) -> paths(walker_id, length,
+    path list<int64>). Ray Data groupby replaces the reference's
+    deterministic walker->segment arithmetic (path.hpp:338-391)."""
+
+    def to_path(g):
+        import pandas as pd
+
+        g = g.sort_values("step")
+        return pd.DataFrame(
+            {
+                "walker_id": [g["walker_id"].iloc[0]],
+                "length": [len(g) - 1],
+                "path": [g["vertex"].to_numpy().tolist()],
+            }
+        )
+
+    return footprints.groupby("walker_id").map_groups(to_path, batch_format="pandas")
+
+
+def paths_to_numpy(paths_ds: ray.data.Dataset) -> dict[int, np.ndarray]:
+    """Small-result helper for tests: walker_id -> vertex sequence."""
+    out = {}
+    for row in paths_ds.take_all():
+        out[int(row["walker_id"])] = np.asarray(row["path"], dtype=np.int64)
+    return out

@@ -1,0 +1,72 @@
+"""Walk configuration dataclasses — the picklable mirror of the reference's
+user-extension surface (SURVEY.md §2.5):
+
+* ``WalkerSpec``  ~ reference ``WalkerConfig`` (include/walk.hpp:147-193):
+  walker count + start distribution (equal: walker i starts at ``i % v_num``,
+  reference include/walk.hpp:403-411; uniform: include/walk.hpp:413-421; or an
+  explicit start-vertex array, the PPR custom-start case src/apps/ppr.cpp:49-66).
+* ``TransitionSpec`` ~ reference ``TransitionConfig`` (include/walk.hpp:195-271):
+  unnormalized P(e) = extension(w,v) x static(v,e) x dynamic(w,v,e).
+  Built-in kinds cover the reference apps (SURVEY.md §2.4): ``truncated``
+  (DeepWalk: extension = step>=L ? 0 : 1), ``geometric`` (PPR: extension =
+  1-terminate_prob each step), ``metapath`` (0/1 dynamic comp on edge-type
+  match with rejection sampling).
+* ``Node2vecSpec`` ~ the second-order config (include/walk.hpp:273-363 +
+  src/apps/node2vec.hpp:108-202): dynamic = 1/p (return), 1 (common
+  neighbour), 1/q (else); upper bound max(1/p,1,1/q) — we fold 1/p into the
+  bound instead of the reference's outlier-appendix path
+  (node2vec.hpp:47-106): identical distribution, slightly more rejections;
+  lower bound min(1/p,1,1/q) enables pre-acceptance without the remote
+  membership query (the reference's lower-bound optimization,
+  walk.hpp:1030-1040).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class WalkerSpec:
+    walker_num: int
+    start: str | np.ndarray = "equal"  # "equal" | "uniform" | array of start vids
+
+
+@dataclass
+class TransitionSpec:
+    kind: str = "truncated"  # "truncated" | "geometric" | "metapath"
+    length: int = 80  # max steps (edges) for truncated / metapath
+    alpha: float = 1.0 - 1.0 / 80  # geometric continue-probability
+    weighted: bool = False  # static comp = edge weight (else uniform)
+    sampler: str = "cdf"  # "cdf" (searchsorted) | "alias" (O(1) buckets)
+    schemes: list = field(default_factory=list)  # metapath: [ [allowed-type bitmask per position] ]
+
+    def to_dict(self) -> dict:
+        return {
+            "kind": self.kind,
+            "length": int(self.length),
+            "alpha": float(self.alpha),
+            "weighted": bool(self.weighted),
+            "sampler": self.sampler,
+            "schemes": [[int(m) for m in s] for s in self.schemes],
+        }
+
+
+@dataclass
+class Node2vecSpec:
+    p: float = 1.0
+    q: float = 1.0
+    length: int = 80
+    weighted: bool = False
+    sampler: str = "cdf"
+
+    def to_dict(self) -> dict:
+        return {
+            "kind": "node2vec",
+            "p": float(self.p),
+            "q": float(self.q),
+            "length": int(self.length),
+            "weighted": bool(self.weighted),
+            "sampler": self.sampler,
+        }

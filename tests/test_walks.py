@@ -1,0 +1,195 @@
+"""Walk-distribution tests — the reference's signature verification
+technique (reference src/tests/test_walk.hpp:73-118): build the empirical
+transition matrix from collected paths, normalize rows, compare against the
+analytic matrix with a tolerance bound plus an exact support (zero/nonzero)
+check. Plus path-integrity (test_path.cpp:180-235) and determinism checks.
+"""
+import numpy as np
+import pytest
+
+from kkray.graph import Graph
+from kkray.walk import deepwalk, metapath_walk, node2vec, ppr_walk
+from kkray.walk.apps import scheme_from_type_sequence
+from kkray.walk.engine import paths_to_numpy
+
+from graphgen import random_edges
+
+
+def _weights_for(src, dst, seed):
+    rng = np.random.Generator(np.random.Philox(seed))
+    return (rng.random(len(src)) * 4 + 1).astype(np.float64)
+
+
+def _analytic_first_order(src, dst, w, v):
+    m = np.zeros((v, v))
+    for a, b, ww in zip(src, dst, w):
+        m[a, b] += ww
+    rows = m.sum(axis=1, keepdims=True)
+    return np.divide(m, rows, out=np.zeros_like(m), where=rows > 0)
+
+
+def _empirical(paths, v):
+    m = np.zeros((v, v))
+    for p in paths.values():
+        for i in range(len(p) - 1):
+            m[p[i], p[i + 1]] += 1
+    return m
+
+
+def _check_rows(emp_counts, analytic, min_samples=300, tol=0.16):
+    rows = emp_counts.sum(axis=1)
+    checked = 0
+    for u in np.flatnonzero(rows >= min_samples):
+        emp = emp_counts[u] / rows[u]
+        assert np.abs(emp - analytic[u]).sum() < tol, f"row {u}: L1={np.abs(emp-analytic[u]).sum():.3f}"
+        # support check: impossible transitions must never occur
+        assert not np.any((analytic[u] == 0) & (emp > 0)), f"row {u}: support violation"
+        checked += 1
+    assert checked > 0
+    return checked
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_first_order_transition_matrix(ray_session, weighted):
+    v, e = 30, 250
+    src, dst = random_edges(v, e, seed=5, undirected=True)
+    w = _weights_for(src, dst, 6) if weighted else None
+    with Graph.from_arrays(src, dst, weight=w, num_parts=3, v_num=v) as g:
+        paths = paths_to_numpy(deepwalk(g, walker_num=4000, length=12, weighted=weighted, seed=11))
+    analytic = _analytic_first_order(src, dst, w if weighted else np.ones(len(src)), v)
+    emp = _empirical(paths, v)
+    _check_rows(emp, analytic)
+
+
+def test_alias_sampler_matches_cdf_distribution(ray_session):
+    v, e = 25, 160
+    src, dst = random_edges(v, e, seed=8, undirected=True)
+    w = _weights_for(src, dst, 9)
+    from kkray.walk.spec import TransitionSpec, WalkerSpec
+    from kkray.walk.engine import random_walk
+
+    analytic = _analytic_first_order(src, dst, w, v)
+    with Graph.from_arrays(src, dst, weight=w, num_parts=3, v_num=v) as g:
+        for sampler in ("cdf", "alias"):
+            paths = paths_to_numpy(
+                random_walk(
+                    g,
+                    WalkerSpec(3000, "equal"),
+                    TransitionSpec(kind="truncated", length=10, weighted=True, sampler=sampler),
+                    seed=13,
+                )
+            )
+            _check_rows(_empirical(paths, v), analytic)
+
+
+def test_ppr_termination_geometry(ray_session):
+    v, e = 40, 400
+    src, dst = random_edges(v, e, seed=21, undirected=True)
+    tp = 1.0 / 5
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        paths = paths_to_numpy(ppr_walk(g, walker_num=6000, terminate_prob=tp, seed=17))
+    lens = np.array([len(p) - 1 for p in paths.values()])
+    mean = lens.mean()
+    expect = (1 - tp) / tp  # geometric mean steps
+    assert abs(mean - expect) < 0.25, (mean, expect)
+    # memorylessness: P(len>=2 | len>=1) ~ 1-tp
+    ge1 = (lens >= 1).sum()
+    ge2 = (lens >= 2).sum()
+    assert abs(ge2 / ge1 - (1 - tp)) < 0.03
+
+
+def test_node2vec_second_order_matrix(ray_session):
+    v, e = 18, 60
+    src, dst = random_edges(v, e, seed=31, undirected=True)
+    p_, q_ = 0.5, 2.0
+    nbrs = [set() for _ in range(v)]
+    for a, b in zip(src, dst):
+        nbrs[a].add(b)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        paths = paths_to_numpy(node2vec(g, walker_num=20000, p=p_, q=q_, length=6, seed=37))
+    # empirical second-order counts keyed (prev, cur) -> next
+    counts: dict = {}
+    for pth in paths.values():
+        for i in range(len(pth) - 2):
+            u, vv, x = int(pth[i]), int(pth[i + 1]), int(pth[i + 2])
+            counts.setdefault((u, vv), {}).setdefault(x, 0)
+        for i in range(len(pth) - 2):
+            u, vv, x = int(pth[i]), int(pth[i + 1]), int(pth[i + 2])
+            counts[(u, vv)][x] += 1
+    checked = 0
+    for (u, vv), nxt in counts.items():
+        n = sum(nxt.values())
+        if n < 400:
+            continue
+        weights = {}
+        for x in nbrs[vv]:
+            if x == u:
+                weights[x] = 1.0 / p_
+            elif x in nbrs[u]:
+                weights[x] = 1.0
+            else:
+                weights[x] = 1.0 / q_
+        tot = sum(weights.values())
+        l1 = 0.0
+        for x, wgt in weights.items():
+            l1 += abs(nxt.get(x, 0) / n - wgt / tot)
+        assert l1 < 0.15, f"state ({u},{vv}): L1={l1:.3f}"
+        for x in nxt:
+            assert x in weights, f"impossible transition {u}->{vv}->{x}"
+        checked += 1
+    assert checked >= 5
+
+
+def test_metapath_scheme_legality_and_distribution(ray_session):
+    v, e, T = 30, 400, 3
+    src, dst = random_edges(v, e, seed=41, undirected=True)
+    rng = np.random.Generator(np.random.Philox(43))
+    et = rng.integers(0, T, len(src)).astype(np.int32)
+    etype_of = {(int(a), int(b)): int(t) for a, b, t in zip(src, dst, et)}
+    schemes = [scheme_from_type_sequence([0, 1, 2]), scheme_from_type_sequence([2, 0])]
+    with Graph.from_arrays(src, dst, etype=et, num_parts=3, v_num=v) as g:
+        paths = paths_to_numpy(metapath_walk(g, walker_num=3000, schemes=schemes, length=9, seed=47))
+    # every consumed edge type must follow the walker's scheme cyclically
+    for wid, pth in paths.items():
+        seq = [s for s in (schemes[wid % 2])]
+        for i in range(len(pth) - 1):
+            t = etype_of[(int(pth[i]), int(pth[i + 1]))]
+            assert (1 << t) & seq[i % len(seq)], f"walker {wid} step {i}: type {t} not allowed"
+
+
+def test_path_integrity_and_determinism(ray_session):
+    v, e = 35, 300
+    src, dst = random_edges(v, e, seed=51, undirected=True)
+    with Graph.from_arrays(src, dst, num_parts=4, v_num=v) as g:
+        ds = deepwalk(g, walker_num=500, length=15, seed=3, return_dataset=True)
+        fp = ds.to_pandas()
+        # every (walker, step) exactly once, steps contiguous from 0
+        for wid, grp in fp.groupby("walker_id"):
+            steps = np.sort(grp["step"].to_numpy())
+            assert np.array_equal(steps, np.arange(len(steps)))
+        p1 = paths_to_numpy(deepwalk(g, walker_num=300, length=10, seed=7))
+        p2 = paths_to_numpy(deepwalk(g, walker_num=300, length=10, seed=7))
+        p3 = paths_to_numpy(deepwalk(g, walker_num=300, length=10, seed=8))
+    assert all(np.array_equal(p1[w], p2[w]) for w in p1)  # same seed -> identical
+    assert any(not np.array_equal(p1[w], p3[w]) for w in p1)  # different seed -> differs
+
+
+def test_uniform_start_and_custom_start(ray_session):
+    v, e = 30, 200
+    src, dst = random_edges(v, e, seed=61, undirected=True)
+    starts = np.array([3, 7, 11], dtype=np.int64)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        paths = paths_to_numpy(deepwalk(g, walker_num=90, length=3, start=starts, seed=5))
+    for wid, pth in paths.items():
+        assert pth[0] == starts[wid % 3]
+
+
+def test_walker_stuck_at_sink(ray_session):
+    # zero-out-degree vertex terminates the walk (reference walk.hpp:956-960)
+    src = np.array([0, 1], dtype=np.int64)
+    dst = np.array([1, 2], dtype=np.int64)
+    with Graph.from_arrays(src, dst, num_parts=2, v_num=3) as g:
+        paths = paths_to_numpy(deepwalk(g, walker_num=3, length=10))
+    assert np.array_equal(paths[0], [0, 1, 2])
+    assert np.array_equal(paths[1], [1, 2])
+    assert np.array_equal(paths[2], [2])
