@@ -1,44 +1,555 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the kkray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one entry per operator family from SURVEY.md §2 (plus
+the training-data ops the build brief adds); ``oracle_sql()`` gives the
+DuckDB-equivalent for every SQL-expressible one, over the pre-registered
+testdata views. Graph queries run on two canonical graphs derived
+deterministically from ``lineitem`` (kkray.pipelines.partgraph) so the SQL
+side can reconstruct exactly the same edges.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init`` / ``ray.shutdown``.
+
+Float columns are rounded identically on both sides (engine + SQL) so the
+driver's order-insensitive value-hash is deterministic.
 """
-
 from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------- helpers
+
+_ORDER_CHAIN_SQL = """
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+    WHERE a.l_partkey <> b.l_partkey
+"""
+
+_COOC_HALF_SQL = """
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+"""
+
+_COOC_BOTH_SQL = f"""
+    SELECT src, dst FROM ({_COOC_HALF_SQL})
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM ({_COOC_HALF_SQL})
+"""
+
+
+def _chain_arrays(sf_dir: str):
+    from kkray.pipelines.partgraph import order_chain_edges
+
+    df = order_chain_edges(sf_dir).to_pandas()
+    return df["src"].to_numpy(dtype=np.int64), df["dst"].to_numpy(dtype=np.int64)
+
+
+def _cooc_arrays(sf_dir: str):
+    from kkray.pipelines.partgraph import cooccurrence_edges
+
+    df = cooccurrence_edges(sf_dir).to_pandas()
+    return df["src"].to_numpy(dtype=np.int64), df["dst"].to_numpy(dtype=np.int64)
+
+
+def _dense_graph(src, dst, num_parts=8):
+    """Remap sparse part keys to dense vids; return (graph, verts) where
+    verts[i] is the part key of dense id i."""
+    from kkray.graph import Graph
+
+    verts = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(verts, src)
+    d = np.searchsorted(verts, dst)
+    return Graph.from_arrays(s, d, num_parts=num_parts, v_num=len(verts)), verts
+
+
+PR_ITERS = 10
+PR_DAMPING = 0.85
+LP_ITERS = 3
+
+
+def _pagerank_sql() -> str:
+    """Unrolled fixed-iteration PageRank with dangling mass, matching
+    kkray.analytics.pagerank semantics exactly."""
+    pre = f"""
+WITH edges AS MATERIALIZED ({_ORDER_CHAIN_SQL}),
+verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+nn AS MATERIALIZED (SELECT count(*) AS cnt FROM verts),
+outdeg AS MATERIALIZED (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
+pr0 AS (SELECT v, 1.0/(SELECT cnt FROM nn) AS score FROM verts)"""
+    its = []
+    for k in range(1, PR_ITERS + 1):
+        p = k - 1
+        its.append(
+            f""",
+dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.score),0) AS s FROM pr{p} p LEFT JOIN outdeg o ON p.v=o.v WHERE o.v IS NULL),
+agg{k} AS MATERIALIZED (SELECT e.dst AS v, SUM(p.score/o.d) AS s
+           FROM edges e JOIN pr{p} p ON e.src=p.v JOIN outdeg o ON e.src=o.v GROUP BY e.dst),
+pr{k} AS MATERIALIZED (SELECT vt.v,
+                 (1-{PR_DAMPING})/(SELECT cnt FROM nn)
+                 + {PR_DAMPING}*(COALESCE(a.s,0)+(SELECT s FROM dang{k})/(SELECT cnt FROM nn)) AS score
+          FROM verts vt LEFT JOIN agg{k} a ON vt.v=a.v)"""
+        )
+    return (
+        pre
+        + "".join(its)
+        + f"""
+SELECT v AS partkey, ROUND(score*(SELECT cnt FROM nn), 6) AS score_n FROM pr{PR_ITERS}"""
+    )
+
+
+def _lp_sql() -> str:
+    """Unrolled synchronous label propagation (majority in-neighbour label,
+    ties -> smallest, isolated keep), matching kkray.analytics.label_propagation."""
+    pre = f"""
+WITH edges AS MATERIALIZED ({_COOC_BOTH_SQL}),
+verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+lp0 AS (SELECT v, v AS lab FROM verts)"""
+    its = []
+    for k in range(1, LP_ITERS + 1):
+        p = k - 1
+        its.append(
+            f""",
+cand{k} AS MATERIALIZED (SELECT e.dst AS v, p.lab AS lab, count(*) AS c
+            FROM edges e JOIN lp{p} p ON e.src=p.v GROUP BY 1,2),
+win{k} AS MATERIALIZED (SELECT v, lab FROM (
+             SELECT v, lab, row_number() OVER (PARTITION BY v ORDER BY c DESC, lab ASC) AS rn FROM cand{k})
+           WHERE rn=1),
+lp{k} AS MATERIALIZED (SELECT l.v, COALESCE(w.lab, l.lab) AS lab FROM lp{p} l LEFT JOIN win{k} w ON l.v=w.v)"""
+        )
+    return pre + "".join(its) + f"""
+SELECT v AS partkey, lab AS label FROM lp{LP_ITERS}"""
+
+
+def _cc_sql() -> str:
+    """Min-label to fixpoint via recursive reachability (UNION dedups ->
+    terminates); label(v) = min vertex id reaching v = min of component."""
+    return f"""
+WITH RECURSIVE edges AS MATERIALIZED ({_COOC_BOTH_SQL}),
+verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+reach(v, lab) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.v
+    WHERE r.lab < e.dst
+)
+SELECT v AS partkey, MIN(lab) AS component FROM reach GROUP BY v"""
+
+
+# ---------------------------------------------------------------- queries
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synth pages -> byte-checked extraction -> edge table ->
+    PageRank -> top pages joined back to urls (runs on sf0.001-scale)."""
+    import ray.data
+    from kkray.analytics import pagerank
+    from kkray.graph import Graph
+    from kkray.io.edges import build_edge_table
+    from kkray.io.synth import synth_pages
+
+    pages_tbl, _ = synth_pages(500, seed=42)
+    pages = ray.data.from_arrow(pages_tbl)
+    edges, url_map = build_edge_table(pages)
+    ep = edges.to_pandas()
+    um = url_map.to_pandas()
+    with Graph.from_arrays(
+        ep["src"].to_numpy(dtype=np.int64), ep["dst"].to_numpy(dtype=np.int64), num_parts=4, v_num=len(um)
+    ) as g:
+        scores = pagerank(g, max_iters=30, tol=1e-10)
+    out = um.sort_values("vid").reset_index(drop=True)
+    out["pagerank"] = scores
+    return out.sort_values("pagerank", ascending=False).reset_index(drop=True)
+
+
+def _q_edges_build(sf_dir: str):
+    src, dst = _chain_arrays(sf_dir)
+    return pd.DataFrame({"src": src, "dst": dst}).sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def _q_out_degrees(sf_dir: str):
+    src, dst = _chain_arrays(sf_dir)
+    df = pd.DataFrame({"src": src})
+    return df.groupby("src", as_index=False).agg(out_degree=("src", "size"))
+
+
+def _q_degree_histogram(sf_dir: str):
+    deg = _q_out_degrees(sf_dir)
+    return deg.groupby("out_degree", as_index=False).agg(n_vertices=("out_degree", "size"))
+
+
+def _q_pagerank(sf_dir: str):
+    from kkray.analytics import pagerank
+
+    src, dst = _chain_arrays(sf_dir)
+    g, verts = _dense_graph(src, dst)
+    with g:
+        scores = pagerank(g, damping=PR_DAMPING, max_iters=PR_ITERS, tol=None)
+    return pd.DataFrame({"partkey": verts, "score_n": np.round(scores * len(verts), 6)})
+
+
+def _q_cc(sf_dir: str):
+    from kkray.analytics import connected_components
+
+    src, dst = _cooc_arrays(sf_dir)
+    g, verts = _dense_graph(src, dst)
+    with g:
+        labels = connected_components(g)
+    return pd.DataFrame({"partkey": verts, "component": verts[labels]})
+
+
+def _q_lp(sf_dir: str):
+    from kkray.analytics import label_propagation
+
+    src, dst = _cooc_arrays(sf_dir)
+    g, verts = _dense_graph(src, dst)
+    with g:
+        labels = label_propagation(g, iters=LP_ITERS)
+    return pd.DataFrame({"partkey": verts, "label": verts[labels]})
+
+
+def _q_triangles(sf_dir: str):
+    from kkray.analytics import triangle_count
+
+    src, dst = _cooc_arrays(sf_dir)
+    g, _ = _dense_graph(src, dst)
+    with g:
+        n = triangle_count(g)
+    return pd.DataFrame({"triangles": [n]})
+
+
+def _q_deepwalk(sf_dir: str):
+    from kkray.walk import deepwalk
+
+    src, dst = _cooc_arrays(sf_dir)
+    g, verts = _dense_graph(src, dst)
+    with g:
+        paths = deepwalk(g, walker_num=2000, length=20, seed=42).to_pandas()
+    return paths.sort_values("walker_id").reset_index(drop=True)[["walker_id", "length"]]
+
+
+def _q_node2vec(sf_dir: str):
+    from kkray.walk import node2vec
+
+    src, dst = _cooc_arrays(sf_dir)
+    g, verts = _dense_graph(src, dst)
+    with g:
+        paths = node2vec(g, walker_num=500, p=2.0, q=0.5, length=10, seed=42).to_pandas()
+    return paths.sort_values("walker_id").reset_index(drop=True)[["walker_id", "length"]]
+
+
+def _q_ppr(sf_dir: str):
+    from kkray.walk import ppr_walk
+
+    src, dst = _cooc_arrays(sf_dir)
+    g, verts = _dense_graph(src, dst)
+    with g:
+        fp = ppr_walk(g, walker_num=2000, terminate_prob=1 / 8, seed=42, return_dataset=True).to_pandas()
+    visits = fp.groupby("vertex", as_index=False).agg(n_visits=("vertex", "size"))
+    visits["vertex"] = verts[visits["vertex"].to_numpy()]
+    return visits
+
+
+def _q_metapath(sf_dir: str):
+    from kkray.walk import metapath_walk
+    from kkray.walk.apps import scheme_from_type_sequence
+
+    src, dst = _cooc_arrays(sf_dir)
+    # deterministic edge types from the key pair
+    et = ((src * 31 + dst) % 3).astype(np.int32)
+    g, verts = _dense_graph(src, dst)
+    # rebuild with etypes (dense ids)
+    g.close()
+    from kkray.graph import Graph
+
+    s = np.searchsorted(verts, src)
+    d = np.searchsorted(verts, dst)
+    with Graph.from_arrays(s, d, etype=et, num_parts=8, v_num=len(verts)) as g2:
+        paths = metapath_walk(
+            g2, walker_num=1000, schemes=[scheme_from_type_sequence([0, 1, 2]), scheme_from_type_sequence([2, 1])],
+            length=12, seed=42,
+        ).to_pandas()
+    return paths.sort_values("walker_id").reset_index(drop=True)[["walker_id", "length"]]
+
+
+def _q_extract_text(sf_dir: str):
+    import ray.data
+    from kkray.io.extract import ExtractText
+    from kkray.io.synth import synth_pages
+
+    pages_tbl, _ = synth_pages(1000, seed=42)
+    golden = {u: t for u, t in zip(pages_tbl.column("url").to_pylist(), pages_tbl.column("text").to_pylist())}
+    pages = ray.data.from_arrow(pages_tbl.drop_columns(["text"]))
+    out = pages.map_batches(ExtractText, batch_format="pyarrow", concurrency=4).to_pandas()
+    out["byte_identical"] = [golden[u] == t for u, t in zip(out["url"], out["text"])]
+    return out[["url", "byte_identical"]].sort_values("url").reset_index(drop=True)
+
+
+def _q_page_edges(sf_dir: str):
+    import ray.data
+    from kkray.io.edges import build_edge_table
+    from kkray.io.synth import synth_pages
+
+    pages_tbl, _ = synth_pages(1000, seed=42)
+    edges, url_map = build_edge_table(ray.data.from_arrow(pages_tbl))
+    df = edges.to_pandas()
+    return df.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def _q_doc_dedup_exact(sf_dir: str):
+    import ray.data
+    from kkray.textops import exact_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    out = exact_dedup(docs).to_pandas()
+    return out.astype({"doc_id": "int64", "dup_count": "int64"}).sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_tokens(sf_dir: str):
+    import ray.data
+    from kkray.textops import TokenCount
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(TokenCount(), batch_format="pandas").to_pandas()
+    return out[["doc_id", "n_tokens_ws"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_chars(sf_dir: str):
+    import ray.data
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": texts.str.len().astype("int64"),
+                "n_digits": texts.map(lambda t: sum(c.isdigit() for c in t)).astype("int64"),
+            }
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(stats, batch_format="pandas").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_lang_counts(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    out = docs.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+    return out.astype({"n_docs": "int64"}).sort_values("lang").reset_index(drop=True)
+
+
+def _q_source_stats(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    out = (
+        docs.groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+    return out.astype({"n_docs": "int64", "total_chars": "int64"}).sort_values("source").reset_index(drop=True)
+
+
+def _q_langid(sf_dir: str):
+    import ray.data
+    from kkray.textops import LangId
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(LangId, batch_format="pandas", concurrency=4).to_pandas()
+    return out[["doc_id", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_fingerprints(sf_dir: str):
+    import ray.data
+    from kkray.textops import Fingerprint
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(Fingerprint(), batch_format="pandas").to_pandas()
+    out["fingerprint"] = out["fingerprint"].astype("uint64")
+    return out[["doc_id", "fingerprint"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import ray.data
+    from kkray.textops import minhash_lsh_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = minhash_lsh_pairs(docs, num_perm=64, bands=16, shingle_n=3, threshold=0.6).to_pandas()
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data
+    from kkray.textops import simhash_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(docs, max_hamming=3).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _q_near_dedup(sf_dir: str):
+    import ray.data
+    from kkray.textops import minhash_lsh_pairs, near_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, num_perm=64, bands=16, shingle_n=3, threshold=0.6)
+    return near_dedup(docs, pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_knn(sf_dir: str):
+    import ray.data
+    from kkray.textops import knn_brute
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id").head(3)
+    q = np.stack(qdf["embedding"].to_numpy())
+    out = knn_brute(emb, q, k=5)
+    out["query_vec_id"] = qdf["vec_id"].to_numpy()[out["query_id"].to_numpy()]
+    return out[["query_vec_id", "rank", "vec_id"]].astype("int64").reset_index(drop=True)
+
+
+def _q_knn_lsh(sf_dir: str):
+    import ray.data
+    from kkray.textops import knn_lsh
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id").head(3)
+    q = np.stack(qdf["embedding"].to_numpy())
+    out = knn_lsh(emb, q, k=5, n_planes=6, probes=8)
+    out["query_vec_id"] = qdf["vec_id"].to_numpy()[out["query_id"].to_numpy()]
+    return out[["query_vec_id", "rank", "vec_id"]].astype("int64").reset_index(drop=True)
+
+
+def _q_emb_labels(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label"])
+    out = emb.groupby("label").aggregate(Count(alias_name="n")).to_pandas()
+    return out.astype({"label": "int64", "n": "int64"}).sort_values("label").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from kkray.relational.queries import (
+        events_hourly_window,
+        filter_pushdown_scan,
+        pricing_summary,
+        revenue_per_nation,
+        top_customers,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # graph construction + analytics (SURVEY §2.2, §2.7)
+        "edges_build": _q_edges_build,
+        "out_degrees": _q_out_degrees,
+        "degree_histogram": _q_degree_histogram,
+        "pagerank_10iter": _q_pagerank,
+        "connected_components": _q_cc,
+        "label_propagation_3iter": _q_lp,
+        "triangle_count": _q_triangles,
+        # walker apps (SURVEY §2.4) — distribution-tested in pytest; driver
+        # check is rows-only
+        "deepwalk_paths": _q_deepwalk,
+        "node2vec_paths": _q_node2vec,
+        "ppr_visit_counts": _q_ppr,
+        "metapath_paths": _q_metapath,
+        # ingestion (SURVEY §2.1/§2.7 new scope)
+        "extract_text_pages": _q_extract_text,
+        "page_edges": _q_page_edges,
+        # training-data ops (build brief)
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_token_counts": _q_doc_tokens,
+        "doc_char_digit_counts": _q_doc_chars,
+        "lang_counts": _q_lang_counts,
+        "source_stats": _q_source_stats,
+        "langid_pred": _q_langid,
+        "doc_fingerprints": _q_fingerprints,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "near_dedup_keep": _q_near_dedup,
+        "knn_cosine_top5": _q_knn,
+        "knn_lsh_top5": _q_knn_lsh,
+        "embedding_label_counts": _q_emb_labels,
+        # relational surface (joins/aggregates/top-k/window)
+        "pricing_summary": lambda sf: pricing_summary(sf),
+        "revenue_per_nation": lambda sf: revenue_per_nation(sf),
+        "top_customers": lambda sf: top_customers(sf),
+        "events_hourly_window": lambda sf: events_hourly_window(sf),
+        "filter_pushdown_scan": lambda sf: filter_pushdown_scan(sf),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "edges_build": _ORDER_CHAIN_SQL,
+        "out_degrees": f"SELECT src, count(*) AS out_degree FROM ({_ORDER_CHAIN_SQL}) GROUP BY src",
+        "degree_histogram": f"""
+            SELECT out_degree, count(*) AS n_vertices FROM (
+              SELECT src, count(*) AS out_degree FROM ({_ORDER_CHAIN_SQL}) GROUP BY src
+            ) GROUP BY out_degree""",
+        "pagerank_10iter": _pagerank_sql(),
+        "connected_components": _cc_sql(),
+        "label_propagation_3iter": _lp_sql(),
+        "triangle_count": f"""
+            WITH e AS MATERIALIZED ({_COOC_HALF_SQL})
+            SELECT count(*) AS triangles
+            FROM e a JOIN e b ON b.src=a.dst JOIN e c ON c.src=a.src AND c.dst=b.dst""",
+        "doc_dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY text""",
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws
+            FROM documents""",
+        "doc_char_digit_counts": """
+            SELECT doc_id, length(text) AS n_chars,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+            FROM documents""",
+        "lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "source_stats": "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars FROM documents GROUP BY source",
+        "embedding_label_counts": "SELECT label::BIGINT AS label, count(*) AS n FROM embeddings GROUP BY label",
+        "knn_cosine_top5": """
+            WITH q AS (SELECT vec_id AS query_vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 3),
+            sims AS (
+              SELECT q.query_vec_id, e.vec_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_vec_id, rank, vec_id FROM (
+              SELECT query_vec_id, vec_id,
+                     row_number() OVER (PARTITION BY query_vec_id ORDER BY sim DESC, vec_id ASC) - 1 AS rank
+              FROM sims
+            ) WHERE rank < 5""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity),2) AS sum_qty,
+                   round(sum(l_extendedprice),2) AS sum_base_price,
+                   round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "revenue_per_nation": """
+            SELECT n_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey=c_custkey
+            JOIN nation ON c_nationkey=n_nationkey
+            GROUP BY n_name""",
+        "top_customers": """
+            SELECT o_custkey, round(sum(o_totalprice),2) AS total_spent
+            FROM orders GROUP BY o_custkey
+            ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 10""",
+        "events_hourly_window": """
+            SELECT user_id, event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events, round(sum(value),6) AS sum_value
+            FROM events GROUP BY user_id, event_type, date_trunc('hour', ts)""",
+        "filter_pushdown_scan": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0""",
+    }

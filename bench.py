@@ -1,0 +1,161 @@
+"""kkray benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line.
+
+--scaling: run the same headline set twice in fresh subprocesses at 8 and
+32 CPUs on the same input and report both wall times + scaling efficiency
+(the sandbox proxy for the N -> 4N cluster-size criterion; BASELINE.md).
+
+Headline set (matches BASELINE.json metric):
+  pagerank      10 supersteps on the order-chain part graph -> edges/s/superstep
+  cc            connected components on the co-occurrence graph
+  triangles     exact triangle count (degree-oriented wedge join)
+  deepwalk      |V| walkers, length 80 -> walked-edges/s
+  node2vec      |V| walkers, length 80, p=2 q=0.5 -> walked-edges/s
+  ingest        synthetic Common-Crawl pages -> text + deduped edge table
+  dedup_minhash MinHash-LSH near-dup pairs over documents
+  knn           brute-force cosine top-10 over embeddings
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_benchmarks() -> dict:
+    import logging
+
+    import numpy as np
+    import ray
+    import ray.data
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from kkray.analytics import connected_components, pagerank, triangle_count
+    from kkray.graph import Graph
+    from kkray.io.edges import build_edge_table
+    from kkray.io.synth import synth_pages
+    from kkray.pipelines.partgraph import cooccurrence_edges, order_chain_edges
+    from kkray.textops import knn_brute, minhash_lsh_pairs
+    from kkray.walk import deepwalk, node2vec
+
+    num_parts = max(4, min(16, NUM_CPUS // 2))
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+                return self
+
+            def __exit__(self, *a):
+                queries[name] = round(time.perf_counter() - self.t0, 3)
+
+        return _T()
+
+    # warm the page cache (measure compute+shuffle, not first disk read)
+    ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    # --- graph build (untimed input prep shared by graph benches) ---
+    chain = order_chain_edges(SF_DIR).to_pandas()
+    cooc = cooccurrence_edges(SF_DIR).to_pandas()
+    cs, cd = chain["src"].to_numpy(np.int64), chain["dst"].to_numpy(np.int64)
+    us, ud = cooc["src"].to_numpy(np.int64), cooc["dst"].to_numpy(np.int64)
+    verts = np.unique(np.concatenate([cs, cd]))
+    csd, cdd = np.searchsorted(verts, cs), np.searchsorted(verts, cd)
+    uverts = np.unique(np.concatenate([us, ud]))
+    usd, udd = np.searchsorted(uverts, us), np.searchsorted(uverts, ud)
+
+    with timed("pagerank"):
+        with Graph.from_arrays(csd, cdd, num_parts=num_parts, v_num=len(verts)) as g:
+            pagerank(g, max_iters=10, tol=None)
+    extras["pagerank_edges_per_sec_per_superstep"] = round(len(cs) * 10 / queries["pagerank"] / 10, 0)
+
+    with Graph.from_arrays(usd, udd, num_parts=num_parts, v_num=len(uverts)) as gu:
+        with timed("cc"):
+            connected_components(gu)
+        with timed("triangles"):
+            extras["triangle_count"] = triangle_count(gu)
+        with timed("deepwalk"):
+            deepwalk(gu, walker_num=len(uverts), length=80, seed=42, collect_paths=False, return_dataset=False)
+        steps = sum(ray.get([a.walk_steps_taken.remote() for a in gu.actors]))
+        extras["deepwalk_walked_edges_per_sec"] = round(steps / queries["deepwalk"], 0)
+        with timed("node2vec"):
+            node2vec(gu, walker_num=len(uverts), p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False)
+        steps = sum(ray.get([a.walk_steps_taken.remote() for a in gu.actors]))
+        extras["node2vec_walked_edges_per_sec"] = round(steps / queries["node2vec"], 0)
+
+    with timed("ingest"):
+        pages_tbl, _ = synth_pages(3000, seed=42)
+        edges, _ = build_edge_table(ray.data.from_arrow(pages_tbl))
+        extras["ingest_edges"] = edges.count()
+
+    with timed("dedup_minhash"):
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        extras["minhash_pairs"] = minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.6).count()
+
+    with timed("knn"):
+        emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        import pandas as pd
+
+        qdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").head(8)
+        knn_brute(emb, np.stack(qdf["embedding"].to_numpy()), k=10)
+
+    ray.shutdown()
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "kkray headline pipelines wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "extras": extras,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run_at(8), run_at(32)
+    # scalable core = the distributed graph+walk pipelines (the metric's
+    # subject); ingest/dedup/knn included in totals for reference
+    core = ["pagerank", "cc", "triangles", "deepwalk", "node2vec"]
+    t_lo = sum(lo["queries"][q] for q in core)
+    t_hi = sum(hi["queries"][q] for q in core)
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling efficiency 8->32 cpus",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8cpu": round(t_lo, 3),
+        "sec_32cpu": round(t_hi, 3),
+        "total_sec_8cpu": lo["value"],
+        "total_sec_32cpu": hi["value"],
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmarks()))

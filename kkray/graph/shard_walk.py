@@ -50,6 +50,7 @@ class WalkMixin:
         self._wseed = int(seed)
         self._collect = collect_paths
         self._fp: list[tuple] = []  # footprint chunks (wid, step, vertex)
+        self._nsteps = 0  # walked edges accepted on this shard (bench metric)
         self._frontier: dict = {}
         self._parked = None
         kind = spec["kind"]
@@ -192,6 +193,7 @@ class WalkMixin:
             if a.any():
                 wid_a, cand_a = wid[a], cand[a]
                 step_a = step[a] + 1
+                self._nsteps += int(len(wid_a))
                 if self._collect:
                     self._fp.append((wid_a.copy(), step_a.copy(), cand_a.copy()))
                 cpart = part_of(cand_a, self.boundaries)
@@ -373,6 +375,7 @@ class WalkMixin:
             step_a = step[acc] + 1
             cand_a = cand[acc]
             prev_a = cur[acc]
+            self._nsteps += int(len(wid_a))
             if self._collect:
                 self._fp.append((wid_a.copy(), step_a.copy(), cand_a.copy()))
             cpart = part_of(cand_a, self.boundaries)
@@ -435,6 +438,9 @@ class WalkMixin:
         return (*out, {"moved": moved, "local": local})
 
     # ------------------------------------------------------------------ #
+    def walk_steps_taken(self) -> int:
+        return self._nsteps
+
     def walk_footprints(self):
         """Return collected (wid, step, vertex) footprint arrays."""
         if not self._fp:

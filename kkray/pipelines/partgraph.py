@@ -1,0 +1,68 @@
+"""Canonical graphs derived deterministically from the driver testdata
+(TPC-H-ish tables) — the SQL-oracle-checkable input for the graph engine.
+
+Two graphs over part keys from ``lineitem``:
+
+* **order-chain digraph**: a directed edge (a.l_partkey -> b.l_partkey) for
+  consecutive line numbers within an order (b.l_linenumber =
+  a.l_linenumber + 1), distinct, self-loops removed. DuckDB-expressible as
+  a self-join — the PageRank/degree oracle graph.
+* **co-occurrence graph** (undirected): distinct {a,b} part pairs sharing
+  an order, a < b; engine side materializes both directions. The
+  CC/LP/triangle oracle graph.
+
+Vertex ids are the part keys themselves (dense enough: p_partkey is
+1..P*200); v_num = max partkey + 1.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..relational.join import consecutive_pairs
+
+
+def lineitem_ds(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_partkey"]
+    )
+
+
+def order_chain_edges(sf_dir: str) -> ray.data.Dataset:
+    """Directed distinct (src,dst) part pairs, consecutive within order."""
+    pairs = consecutive_pairs(lineitem_ds(sf_dir), "l_orderkey", "l_linenumber", "l_partkey")
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst")))),
+        batch_format="pyarrow",
+    )
+    from ..io.edges import dedup_edges
+
+    return dedup_edges(pairs)
+
+
+def cooccurrence_edges(sf_dir: str) -> ray.data.Dataset:
+    """Undirected distinct co-occurring part pairs (both directions)."""
+    li = lineitem_ds(sf_dir)
+
+    def pairs_in_order(g):
+        import pandas as pd
+
+        parts = np.unique(g["l_partkey"].to_numpy())
+        if len(parts) < 2:
+            return pd.DataFrame({"src": [], "dst": []})
+        ii, jj = np.triu_indices(len(parts), 1)
+        return pd.DataFrame({"src": parts[ii], "dst": parts[jj]})
+
+    pairs = li.groupby("l_orderkey").map_groups(pairs_in_order, batch_format="pandas")
+    from ..io.edges import dedup_edges, undirect
+
+    return undirect(dedup_edges(pairs))
+
+
+def graph_from_edges(edges: ray.data.Dataset, num_parts: int = 8):
+    from ..graph import Graph
+
+    return Graph.from_dataset(edges, num_parts=num_parts)

@@ -1,0 +1,274 @@
+"""Deduplication operators for training-data pipelines (build brief:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+Shapes (all Ray-Data-first):
+* exact: content-hash in ``map_batches`` (combiner: per-batch local dedup)
+  -> groupby(hash) -> min doc_id. O(rows) shuffle of small hash rows.
+* MinHash-LSH: shingle->minhash signature per batch -> explode to
+  (band, band_hash, doc_id) rows -> groupby band bucket -> candidate pairs
+  -> exact n-gram Jaccard verification per pair.
+* near-dup clustering: verified pairs are edges -> reuse the engine's own
+  connected-components (kkray.analytics) -> keep min doc per component.
+* SimHash: 64-bit weighted token-hash signature; banding on 4x16-bit
+  chunks for candidates; verify by Hamming distance.
+* embedding near-dup: normalize -> random-hyperplane LSH buckets ->
+  in-bucket cosine (brute per bucket), or full brute for small inputs.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..utils import splitmix64
+
+MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _text_hash64(texts) -> np.ndarray:
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        out[i] = np.frombuffer(hashlib.blake2b((t or "").encode("utf-8"), digest_size=8).digest(), dtype=np.uint64)[0]
+    return out
+
+
+def exact_dedup(docs: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    """First-wins (min id) exact dedup; returns (doc_id, dup_count) per
+    surviving doc. Shuffle moves only (hash, id) pairs, pre-min-ed per batch."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        h = _text_hash64(df[text_col].tolist())
+        g = pd.DataFrame({"h": h.astype(np.uint64), id_col: df[id_col]})
+        agg = g.groupby("h", as_index=False).agg(doc_id=(id_col, "min"), dup_count=(id_col, "size"))
+        return agg
+
+    partial = docs.map_batches(local, batch_format="pandas")
+    from ray.data.aggregate import Min, Sum
+
+    return (
+        partial.groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Sum("dup_count", alias_name="dup_count"))
+        .drop_columns(["h"])
+    )
+
+
+def _shingles(text: str, n: int) -> set:
+    toks = text.split()
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _minhash_sig(sh: set, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm minhash values via universal hashing over 64-bit shingle
+    hashes (one vectorized min per doc)."""
+    if not sh:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    base = np.empty(len(sh), dtype=np.uint64)
+    for i, s in enumerate(sh):
+        base[i] = np.frombuffer(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), dtype=np.uint64)[0]
+    with np.errstate(over="ignore"):
+        # (a*x + b) mod p, p = 2^61-1; broadcast perms x shingles
+        x = base % MERSENNE
+        vals = (a[:, None] * x[None, :] + b[:, None]) % MERSENNE
+    return vals.min(axis=1).astype(np.uint64)
+
+
+class MinHasher:
+    """map_batches stage: documents -> exploded (band, band_hash, doc_id)."""
+
+    def __init__(self, num_perm: int, bands: int, shingle_n: int, seed: int):
+        self.num_perm, self.bands, self.n = num_perm, bands, shingle_n
+        self.rows = num_perm // bands
+        rng = np.random.Generator(np.random.Philox(seed))
+        self.a = (rng.integers(1, MERSENNE, num_perm, dtype=np.uint64)) | np.uint64(1)
+        self.b = rng.integers(0, MERSENNE, num_perm, dtype=np.uint64)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        band_ids, band_hashes, ids = [], [], []
+        for did, text in zip(df["doc_id"], df["text"].fillna("")):
+            sig = _minhash_sig(_shingles(text, self.n), self.a, self.b)
+            for bi in range(self.bands):
+                chunk = sig[bi * self.rows : (bi + 1) * self.rows]
+                bh = int(splitmix64(np.bitwise_xor.reduce(chunk + np.uint64(bi + 1))[None])[0])
+                band_ids.append(bi)
+                band_hashes.append(bh)
+                ids.append(did)
+        return pd.DataFrame({"band": band_ids, "band_hash": np.array(band_hashes, dtype=np.uint64), "doc_id": ids})
+
+
+def minhash_lsh_pairs(
+    docs: ray.data.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Candidate near-dup pairs via MinHash banding, verified with exact
+    n-gram Jaccard (pair-level recheck against the real shingle sets).
+    Returns (a, b, jaccard) with a < b, jaccard >= threshold."""
+    exploded = docs.map_batches(MinHasher(num_perm, bands, shingle_n, seed), batch_format="pandas", concurrency=8)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        ii, jj = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    cand = exploded.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    # dedup candidate pairs across bands
+    cand = cand.groupby(["a", "b"]).map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    # verify: join texts (broadcast — candidate verification needs both
+    # texts; at >RAM scale this becomes two bucketed joins)
+    texts = {r["doc_id"]: r["text"] for r in docs.select_columns(["doc_id", "text"]).take_all()}
+    tref = ray.put(texts)
+    n = shingle_n
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(tref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            jac = []
+            for a_, b_ in zip(df["a"], df["b"]):
+                sa, sb = _shingles(self.texts[a_] or "", n), _shingles(self.texts[b_] or "", n)
+                u = len(sa | sb)
+                jac.append(len(sa & sb) / u if u else 1.0)
+            df = df.copy()
+            df["jaccard"] = jac
+            return df
+
+    verified = cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    return verified.filter(lambda r: r["jaccard"] >= threshold)
+
+
+def near_dedup(docs: ray.data.Dataset, pairs: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
+    """Cluster verified duplicate pairs with the engine's own
+    connected-components and keep the min doc id per cluster. Returns
+    (doc_id, keep) for every input doc."""
+    from ..analytics import connected_components
+    from ..graph import Graph
+
+    pdf = pairs.select_columns(["a", "b"]).to_pandas()
+    all_ids = docs.select_columns([id_col]).to_pandas()[id_col].to_numpy()
+    id_sorted = np.sort(all_ids)
+    remap = {int(x): i for i, x in enumerate(id_sorted)}
+    if len(pdf):
+        a = np.array([remap[int(x)] for x in pdf["a"]], dtype=np.int64)
+        b = np.array([remap[int(x)] for x in pdf["b"]], dtype=np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        with Graph.from_arrays(src, dst, num_parts=4, v_num=len(id_sorted)) as g:
+            labels = connected_components(g)
+    else:
+        labels = np.arange(len(id_sorted))
+    keep = labels == np.arange(len(id_sorted))
+    return ray.data.from_arrow(
+        pa.table({id_col: pa.array(id_sorted), "keep": pa.array(keep)})
+    )
+
+
+class SimHasher:
+    """64-bit SimHash over whitespace tokens (unit weights)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.empty(len(df), dtype=np.uint64)
+        for i, text in enumerate(df["text"].fillna("")):
+            toks = text.split()
+            if not toks:
+                sigs[i] = 0
+                continue
+            hs = _text_hash64(toks)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            with np.errstate(over="ignore"):
+                sig = (np.uint64(1) << np.arange(64, dtype=np.uint64))[votes > 0].sum(dtype=np.uint64)
+            sigs[i] = sig
+        out = df.copy()
+        out["simhash"] = sigs
+        return out
+
+
+def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Dataset:
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4 x 16-bit
+    chunks (any exact chunk match -> candidate, catches all pairs with
+    hamming <= 3), verify true Hamming distance."""
+    sigs = docs.map_batches(SimHasher(), batch_format="pandas", concurrency=8).select_columns(["doc_id", "simhash"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, s in zip(df["doc_id"], df["simhash"]):
+            s = np.uint64(s)
+            for c in range(4):
+                rows.append((c, int((s >> np.uint64(16 * c)) & np.uint64(0xFFFF)), did, int(s)))
+        return pd.DataFrame(rows, columns=["chunk", "chunk_val", "doc_id", "simhash"])
+
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+        ids = g["doc_id"].to_numpy()
+        ss = g["simhash"].to_numpy(dtype=np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        ii, jj = np.triu_indices(len(ids), 1)
+        x = ss[ii] ^ ss[jj]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        ok = ham <= max_hamming
+        return pd.DataFrame({"a": ids[ii][ok], "b": ids[jj][ok], "hamming": ham[ok]})
+
+    pairs = exploded.groupby(["chunk", "chunk_val"]).map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["a", "b"]).map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+
+
+def embedding_near_dup(
+    emb: ray.data.Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs by cosine similarity: random-hyperplane LSH
+    buckets (sign pattern over n_planes), in-bucket brute cosine. Pairs on
+    opposite sides of a plane can be missed (LSH recall<1) — n_planes
+    trades recall for bucket size; n_planes=0 -> single bucket = exact."""
+    first = emb.take(1)[0]
+    dim = len(first[vec_col])
+    rng = np.random.Generator(np.random.Philox(seed))
+    planes = rng.standard_normal((dim, n_planes)) if n_planes else None
+    pref = ray.put(planes)
+
+    class Bucket:
+        def __init__(self):
+            self.planes = ray.get(pref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            v = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            if self.planes is None:
+                code = np.zeros(len(df), dtype=np.int64)
+            else:
+                code = ((v @ self.planes) > 0) @ (1 << np.arange(self.planes.shape[1]))
+            return pd.DataFrame({id_col: df[id_col].to_numpy(), "bucket": code, "vec": list(v)})
+
+    bucketed = emb.map_batches(Bucket, batch_format="pandas", concurrency=(1, 8))
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        v = np.stack(g["vec"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        sims = v @ v.T
+        ii, jj = np.triu_indices(len(ids), 1)
+        ok = sims[ii, jj] >= threshold
+        return pd.DataFrame({"a": ids[ii][ok], "b": ids[jj][ok], "cosine": sims[ii, jj][ok]})
+
+    return bucketed.groupby("bucket").map_groups(in_bucket, batch_format="pandas")

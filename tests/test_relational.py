@@ -1,0 +1,125 @@
+"""Relational pipelines + canonical part-graphs vs DuckDB oracles on the
+driver testdata (the same comparisons the driver's correctness gate runs)."""
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "nation", "events"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def test_pricing_summary_matches_sql(ray_session):
+    from kkray.relational.queries import pricing_summary
+
+    got = pricing_summary(SF)
+    exp = _con().execute(
+        """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) sum_qty,
+               sum(l_extendedprice) sum_base_price,
+               sum(l_extendedprice*(1-l_discount)) sum_disc_price,
+               count(*) count_order
+        FROM lineitem GROUP BY 1,2 ORDER BY 1,2"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"count_order": "int64"}), exp.astype({"count_order": "int64"}), rtol=1e-9
+    )
+
+
+def test_revenue_per_nation_matches_sql(ray_session):
+    from kkray.relational.queries import revenue_per_nation
+
+    got = revenue_per_nation(SF)
+    exp = _con().execute(
+        """
+        SELECT n_name, sum(o_totalprice) revenue, count(*) n_orders
+        FROM orders JOIN customer ON o_custkey=c_custkey
+        JOIN nation ON c_nationkey=n_nationkey
+        GROUP BY n_name ORDER BY n_name"""
+    ).df()
+    pd.testing.assert_frame_equal(got.astype({"n_orders": "int64"}), exp.astype({"n_orders": "int64"}), rtol=1e-9)
+
+
+def test_top_customers_matches_sql(ray_session):
+    from kkray.relational.queries import top_customers
+
+    got = top_customers(SF, k=10)
+    exp = _con().execute(
+        """
+        SELECT o_custkey, round(sum(o_totalprice),2) total_spent
+        FROM orders GROUP BY o_custkey
+        ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 10"""
+    ).df()
+    assert list(got["o_custkey"]) == list(exp["o_custkey"])
+    assert np.allclose(got["total_spent"], exp["total_spent"])
+
+
+def test_events_window_matches_sql(ray_session):
+    from kkray.relational.queries import events_hourly_window
+
+    got = events_hourly_window(SF)
+    exp = _con().execute(
+        """
+        SELECT user_id, event_type, date_trunc('hour', ts) window_start,
+               count(*) n_events, round(sum(value),6) sum_value
+        FROM events GROUP BY 1,2,3 ORDER BY 1,2,3"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"n_events": "int64"}), exp.astype({"n_events": "int64"}), rtol=1e-9
+    )
+
+
+def test_order_chain_edges_match_sql(ray_session):
+    from kkray.pipelines.partgraph import order_chain_edges
+
+    got = order_chain_edges(SF).to_pandas()
+    exp = _con().execute(
+        """
+        SELECT DISTINCT a.l_partkey src, b.l_partkey dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey=b.l_orderkey AND b.l_linenumber=a.l_linenumber+1
+        WHERE a.l_partkey <> b.l_partkey"""
+    ).df()
+    g = set(zip(got["src"].astype(int), got["dst"].astype(int)))
+    e = set(zip(exp["src"].astype(int), exp["dst"].astype(int)))
+    assert g == e
+
+
+def test_cooccurrence_edges_match_sql(ray_session):
+    from kkray.pipelines.partgraph import cooccurrence_edges
+
+    got = cooccurrence_edges(SF).to_pandas()
+    exp = _con().execute(
+        """
+        SELECT DISTINCT a.l_partkey src, b.l_partkey dst
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey=b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey"""
+    ).df()
+    e = set(zip(exp["src"].astype(int), exp["dst"].astype(int)))
+    e |= {(b, a) for a, b in e}
+    g = set(zip(got["src"].astype(int), got["dst"].astype(int)))
+    assert g == e
+
+
+def test_consecutive_pairs_join_semantics(ray_session):
+    import ray.data
+    from kkray.relational.join import consecutive_pairs
+
+    df = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 2, 2, 3, 4, 4, 4],
+            "s": [1, 2, 4, 1, 2, 1, 2, 2, 3],  # group 4: duplicate seq=2
+            "v": [10, 11, 12, 20, 21, 30, 40, 41, 42],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = consecutive_pairs(ds, "g", "s", "v").to_pandas()
+    got = sorted(zip(out["src"].astype(int), out["dst"].astype(int)))
+    # gap 2->4 excluded, group change excluded, BOTH dup-seq rows pair with 42
+    assert got == [(10, 11), (20, 21), (40, 42), (41, 42)]

@@ -1,0 +1,187 @@
+"""Training-data pipeline operators over the driver testdata tables
+(documents/embeddings) — dedup family, quality, ANN, multimodal plumbing."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kkray.textops import (
+    Fingerprint,
+    LangId,
+    QualityStats,
+    TokenCount,
+    embedding_near_dup,
+    exact_dedup,
+    knn_brute,
+    knn_lsh,
+    minhash_lsh_pairs,
+    near_dedup,
+    simhash_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_with_dupes(ray_session=None):
+    base = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+                "the quick brown fox leaps over the lazy dog",  # near dup of 0
+                "completely different content about graph engines",
+                "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+                "unrelated short text",
+                "completely different content about graph engines and ray",
+                "",
+            ],
+        }
+    )
+    return ray.data.from_pandas(base), base
+
+
+def test_exact_dedup(ray_session):
+    ds, base = _docs_with_dupes()
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert sorted(out["doc_id"]) == [0, 2, 3, 5, 6, 7]
+    assert int(out.set_index("doc_id").loc[0, "dup_count"]) == 3
+
+
+def test_exact_dedup_on_testdata(ray_session):
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    out = exact_dedup(docs).to_pandas()
+    import duckdb
+
+    exp = duckdb.sql(
+        f"SELECT count(*) n FROM (SELECT min(doc_id) FROM '{SF}/documents.parquet' GROUP BY text)"
+    ).fetchone()[0]
+    assert len(out) == exp
+
+
+def test_minhash_and_near_dedup(ray_session):
+    ds, base = _docs_with_dupes()
+    pairs = minhash_lsh_pairs(ds, num_perm=64, bands=32, shingle_n=2, threshold=0.5)
+    pdf = pairs.to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pdf["a"], pdf["b"])}
+    # exact dups must be found; near dup 0-2 should be at this threshold
+    assert (0, 1) in got and (0, 4) in got and (1, 4) in got
+    assert (0, 2) in got or (1, 2) in got
+    assert all(j >= 0.5 for j in pdf["jaccard"])
+    keep = near_dedup(ds, pairs).to_pandas().sort_values("doc_id")
+    kept = set(keep[keep["keep"]]["doc_id"].astype(int))
+    assert 0 in kept and 1 not in kept and 4 not in kept
+    assert 3 in kept and 5 in kept and 7 in kept
+
+
+def test_simhash_pairs(ray_session):
+    ds, _ = _docs_with_dupes()
+    out = simhash_pairs(ds, max_hamming=0).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    assert {(0, 1), (0, 4), (1, 4)} <= got
+    assert all(h == 0 for h in out[out["a"].isin([0, 1]) & out["b"].isin([1, 4])]["hamming"])
+
+
+def test_quality_and_tokens(ray_session):
+    ds, base = _docs_with_dupes()
+    out = ds.map_batches(TokenCount(), batch_format="pandas").map_batches(
+        QualityStats(), batch_format="pandas"
+    ).to_pandas().sort_values("doc_id")
+    assert int(out.iloc[0]["n_tokens_ws"]) == 9
+    assert int(out.iloc[7]["n_tokens_ws"]) == 0
+    assert (out["quality_score"] >= 0).all() and (out["quality_score"] <= 1).all()
+    assert int(out.iloc[0]["n_chars"]) == len(base.iloc[0]["text"])
+
+
+def test_langid_deterministic(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat and the dog in a house that is big",
+                "der Hund und die Katze ist nicht ein Problem",
+                "le chat et le chien est dans la maison pour un moment",
+                "xyzzy plugh",
+            ],
+        }
+    )
+    out = ray.data.from_pandas(df).map_batches(LangId, batch_format="pandas", concurrency=2).to_pandas().sort_values("doc_id")
+    assert list(out["lang_pred"]) == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_stability(ray_session):
+    ds, _ = _docs_with_dupes()
+    a = ds.map_batches(Fingerprint(), batch_format="pandas").to_pandas().sort_values("doc_id")
+    b = ds.map_batches(Fingerprint(), batch_format="pandas").to_pandas().sort_values("doc_id")
+    assert np.array_equal(a["fingerprint"].to_numpy(), b["fingerprint"].to_numpy())
+    # identical texts -> identical fingerprints; whitespace-normalized
+    assert a["fingerprint"].iloc[0] == a["fingerprint"].iloc[1]
+
+
+def test_embedding_near_dup_and_knn(ray_session):
+    rng = np.random.Generator(np.random.Philox(5))
+    base = rng.standard_normal((40, 16))
+    # rows 3 and 17: near-identical
+    base[17] = base[3] + rng.standard_normal(16) * 0.01
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64), "embedding": [v.astype(np.float32) for v in base]})
+    )
+    pairs = embedding_near_dup(ds, threshold=0.98, n_planes=0).to_pandas()
+    assert {(3, 17)} == {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    # knn: brute matches numpy oracle
+    q = base[[3, 20]]
+    got = knn_brute(ds, q, k=5)
+    vn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ vn.T
+    for qi in range(2):
+        exp_ids = np.lexsort((np.arange(40), -sims[qi]))[:5]
+        got_ids = got[got["query_id"] == qi].sort_values("rank")["vec_id"].to_numpy()
+        assert np.array_equal(got_ids, exp_ids)
+    # lsh with generous probes approximates brute top-1
+    lsh = knn_lsh(ds, q, k=5, n_planes=4, probes=8)
+    top1 = lsh[(lsh["query_id"] == 0) & (lsh["rank"] == 0)]["vec_id"].iloc[0]
+    assert int(top1) == 3
+
+
+def test_knn_on_testdata_embeddings(ray_session):
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    first = emb.take(3)
+    q = np.stack([np.asarray(r["embedding"]) for r in first])
+    out = knn_brute(emb, q, k=5)
+    assert len(out) == 15
+    # each query's own vector must be its rank-0 neighbour
+    for qi, r in enumerate(first):
+        top = out[(out["query_id"] == qi) & (out["rank"] == 0)]
+        assert int(top["vec_id"].iloc[0]) == int(r["vec_id"])
+
+
+def test_multimodal_plumbing(ray_session):
+    from kkray.textops.multimodal import DecodeImage, ImageFeatures, ResizeImage, SampleFrames
+
+    media = pd.DataFrame(
+        {
+            "media_id": [0, 1],
+            "payload": [b"imgdata-0", b"imgdata-1"],
+            "height": [8, 12],
+            "width": [6, 10],
+        }
+    )
+    ds = ray.data.from_pandas(media)
+    dec = ds.map_batches(DecodeImage("fake"), batch_format="pandas", batch_size=1, concurrency=2)
+    out = dec.map_batches(ResizeImage(4, 4), batch_format="pandas").map_batches(
+        ImageFeatures(), batch_format="pandas"
+    ).to_pandas().sort_values("media_id")
+    assert all(len(p) == 4 * 4 * 3 for p in out["pixels"])
+    assert all(len(f) == 3 + 3 + 8 for f in out["features"])
+    # determinism of the fake decoder
+    again = ds.map_batches(DecodeImage("fake"), batch_format="pandas").to_pandas().sort_values("media_id")
+    assert np.array_equal(np.asarray(again["pixels"].iloc[0]), np.asarray(dec.to_pandas().sort_values("media_id")["pixels"].iloc[0]))
+    with pytest.raises(Exception):
+        ds.map_batches(DecodeImage("none"), batch_format="pandas").materialize()
+    vids = pd.DataFrame(
+        {"media_id": [0], "payload": [b"vid"], "n_frames": [25], "height": [4], "width": [4]}
+    )
+    frames = ray.data.from_pandas(vids).map_batches(SampleFrames(every=10), batch_format="pandas").to_pandas()
+    assert list(frames["frame"]) == [0, 10, 20]
