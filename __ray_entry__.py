@@ -43,18 +43,27 @@ _COOC_BOTH_SQL = f"""
 """
 
 
-def _chain_arrays(sf_dir: str):
-    from kkray.pipelines.partgraph import order_chain_edges
+_GRAPH_CACHE: dict = {}
 
-    df = order_chain_edges(sf_dir).to_pandas()
-    return df["src"].to_numpy(dtype=np.int64), df["dst"].to_numpy(dtype=np.int64)
+
+def _chain_arrays(sf_dir: str):
+    key = ("chain", sf_dir)
+    if key not in _GRAPH_CACHE:
+        from kkray.pipelines.partgraph import order_chain_edges
+
+        df = order_chain_edges(sf_dir).to_pandas()
+        _GRAPH_CACHE[key] = (df["src"].to_numpy(dtype=np.int64), df["dst"].to_numpy(dtype=np.int64))
+    return _GRAPH_CACHE[key]
 
 
 def _cooc_arrays(sf_dir: str):
-    from kkray.pipelines.partgraph import cooccurrence_edges
+    key = ("cooc", sf_dir)
+    if key not in _GRAPH_CACHE:
+        from kkray.pipelines.partgraph import cooccurrence_edges
 
-    df = cooccurrence_edges(sf_dir).to_pandas()
-    return df["src"].to_numpy(dtype=np.int64), df["dst"].to_numpy(dtype=np.int64)
+        df = cooccurrence_edges(sf_dir).to_pandas()
+        _GRAPH_CACHE[key] = (df["src"].to_numpy(dtype=np.int64), df["dst"].to_numpy(dtype=np.int64))
+    return _GRAPH_CACHE[key]
 
 
 def _dense_graph(src, dst, num_parts=8):

@@ -87,13 +87,23 @@ def run_benchmarks() -> dict:
             connected_components(gu)
         with timed("triangles"):
             extras["triangle_count"] = triangle_count(gu)
-        with timed("deepwalk"):
+        with timed("deepwalk_sharded"):
             deepwalk(gu, walker_num=len(uverts), length=80, seed=42, collect_paths=False, return_dataset=False)
         steps = sum(ray.get([a.walk_steps_taken.remote() for a in gu.actors]))
+        extras["deepwalk_sharded_walked_edges_per_sec"] = round(steps / queries["deepwalk_sharded"], 0)
+
+    # walks on the replicated pool (the graph-fits-a-node fast path:
+    # one plasma-shared CSR, no inter-worker exchange)
+    from kkray.graph import WalkerPool
+
+    with WalkerPool.from_arrays(usd, udd, num_workers=NUM_CPUS // 2, v_num=len(uverts)) as wp:
+        with timed("deepwalk"):
+            deepwalk(wp, walker_num=len(uverts), length=80, seed=42, collect_paths=False, return_dataset=False)
+        steps = sum(ray.get([a.walk_steps_taken.remote() for a in wp.actors]))
         extras["deepwalk_walked_edges_per_sec"] = round(steps / queries["deepwalk"], 0)
         with timed("node2vec"):
-            node2vec(gu, walker_num=len(uverts), p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False)
-        steps = sum(ray.get([a.walk_steps_taken.remote() for a in gu.actors]))
+            node2vec(wp, walker_num=len(uverts), p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False)
+        steps = sum(ray.get([a.walk_steps_taken.remote() for a in wp.actors]))
         extras["node2vec_walked_edges_per_sec"] = round(steps / queries["node2vec"], 0)
 
     with timed("ingest"):

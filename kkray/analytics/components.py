@@ -38,7 +38,9 @@ def connected_components(
 
     for it in range(start_iter, max_iters):
         t0 = time.perf_counter()
-        scat = [a.cc_scatter.options(num_returns=P).remote() for a in actors]
+        hub = graph.hub_value_array("label")
+        href = ray.put(hub) if hub is not None else None
+        scat = [a.cc_scatter.options(num_returns=P).remote(href) for a in actors]
         changed = ray.get(
             [actors[p].cc_gather.remote(*[scat[q][p] for q in range(P)]) for p in range(P)]
         )

@@ -39,7 +39,9 @@ def label_propagation(
 
     for it in range(start_iter, iters):
         t0 = time.perf_counter()
-        scat = [a.lp_scatter.options(num_returns=P).remote() for a in actors]
+        hub = graph.hub_value_array("label")
+        href = ray.put(hub) if hub is not None else None
+        scat = [a.lp_scatter.options(num_returns=P).remote(href) for a in actors]
         changed = ray.get(
             [actors[p].lp_gather.remote(*[scat[q][p] for q in range(P)]) for p in range(P)]
         )

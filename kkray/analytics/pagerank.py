@@ -48,7 +48,9 @@ def pagerank(
 
     for it in range(start_iter, max_iters):
         t0 = time.perf_counter()
-        scat = [a.pr_scatter.options(num_returns=P + 1).remote() for a in actors]
+        hub = graph.hub_value_array("pr")
+        href = ray.put(hub) if hub is not None else None
+        scat = [a.pr_scatter.options(num_returns=P + 1).remote(href) for a in actors]
         dangling_total = sum(ray.get([refs[P] for refs in scat]))
         deltas = ray.get(
             [

@@ -1,2 +1,2 @@
-from .builder import Graph  # noqa: F401
+from .builder import Graph, WalkerPool  # noqa: F401
 from .partition import degree_aware_boundaries, part_of  # noqa: F401

@@ -26,12 +26,14 @@ from .shard import GraphShard
 class Graph:
     """Handle over P GraphShard actors. Context-manager: kills actors on exit."""
 
-    def __init__(self, actors, boundaries: np.ndarray, v_num: int, e_num: int):
+    def __init__(self, actors, boundaries: np.ndarray, v_num: int, e_num: int, hub_vids=None, hub_outdeg=None):
         self.actors = actors
         self.boundaries = boundaries
         self.num_parts = len(actors)
         self.v_num = v_num
         self.e_num = e_num
+        self.hub_vids = hub_vids if hub_vids is not None else np.empty(0, np.int64)
+        self.hub_outdeg = hub_outdeg if hub_outdeg is not None else np.empty(0, np.int64)
 
     # ------------------------------------------------------------------ #
     @classmethod
@@ -44,22 +46,57 @@ class Graph:
         num_parts: int = 8,
         v_num: int | None = None,
         seed: int = 42,
+        split_threshold: int | None = None,
     ) -> "Graph":
         """In-memory build path (graph fits driver RAM — test/bench scale).
         Edges are bucketed by src partition with one argsort and shipped to
-        actors as zero-copy object-store refs."""
+        actors as zero-copy object-store refs.
+
+        split_threshold: heavy-vertex splitting (north_rule skew handling):
+        a vertex with out-degree > threshold has its out-edges dealt
+        round-robin across ALL shards as ghost slices; the scatter-gather
+        analytics fold ghost contributions with a per-superstep hub-value
+        broadcast (one scalar per hub). Walks/triangles require full local
+        adjacency and refuse split graphs."""
         src = np.asarray(src, dtype=np.int64)
         dst = np.asarray(dst, dtype=np.int64)
         if v_num is None:
             v_num = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1) if len(src) else 0
         outdeg = np.bincount(src, minlength=v_num)
         boundaries = degree_aware_boundaries(outdeg, num_parts)
+        P = len(boundaries) - 1
+        hub_vids = hub_outdeg = None
+        ghost = [None] * P
+        if split_threshold is not None and len(src):
+            hub_vids = np.flatnonzero(outdeg > split_threshold).astype(np.int64)
+            if len(hub_vids):
+                hub_outdeg = outdeg[hub_vids]
+                is_hub_src = np.zeros(v_num, dtype=bool)
+                is_hub_src[hub_vids] = True
+                hmask = is_hub_src[src]
+                h_src, h_dst = src[hmask], dst[hmask]
+                h_idx = np.searchsorted(hub_vids, h_src)
+                assign = np.arange(len(h_src)) % P  # round-robin deal
+                ghost = []
+                for p in range(P):
+                    m = assign == p
+                    ghost.append((h_idx[m], h_dst[m]))
+                keep = ~hmask
+                src, dst = src[keep], dst[keep]
+                if weight is not None:
+                    weight = weight[keep]
+                if etype is not None:
+                    etype = etype[keep]
+            else:
+                hub_vids = hub_outdeg = None
         parts = part_of(src, boundaries)
         order = np.argsort(parts, kind="stable")
         bounds = np.searchsorted(parts[order], np.arange(len(boundaries)))
         actors = []
-        for p in range(len(boundaries) - 1):
+        e_num = len(src) + (sum(len(g[0]) for g in ghost if g is not None) if hub_vids is not None else 0)
+        for p in range(P):
             sl = order[bounds[p] : bounds[p + 1]]
+            g = ghost[p]
             actors.append(
                 GraphShard.remote(
                     p,
@@ -70,10 +107,14 @@ class Graph:
                     weight[sl] if weight is not None else None,
                     etype[sl] if etype is not None else None,
                     seed,
+                    hub_vids=hub_vids,
+                    hub_outdeg=hub_outdeg,
+                    ghost_hidx=g[0] if g is not None else None,
+                    ghost_dst=g[1] if g is not None else None,
                 )
             )
         ray.get([a.ready.remote() for a in actors])  # surface build errors now
-        return cls(actors, boundaries, v_num, len(src))
+        return cls(actors, boundaries, v_num, e_num, hub_vids, hub_outdeg)
 
     @classmethod
     def from_dataset(
@@ -162,6 +203,17 @@ class Graph:
     def out_degrees(self) -> np.ndarray:
         return self.gather_vertex_array("deg_get")
 
+    def hub_value_array(self, kind: str) -> np.ndarray | None:
+        """Assemble the per-superstep split-hub value vector (one scalar
+        per hub, gathered from owners) for the ghost-edge scatters."""
+        if not len(self.hub_vids):
+            return None
+        parts = ray.get([a.hub_values.remote(kind) for a in self.actors])
+        out = np.zeros(len(self.hub_vids), dtype=np.float64 if kind == "pr" else np.int64)
+        for idx, vals in parts:
+            out[idx] = vals
+        return out
+
     def close(self):
         for a in self.actors:
             ray.kill(a)
@@ -173,3 +225,58 @@ class Graph:
     def __exit__(self, *exc):
         self.close()
         return False
+
+
+class WalkerPool:
+    """Replicated walk mode: the full CSR is built ONCE, ray.put into the
+    object store, and shared zero-copy by N walker workers; walkers are
+    partitioned by walker id, so a walk never communicates.
+
+    This is the single-node/graph-fits-a-node fast path (the reference's
+    per-node CSR + OpenMP threads, SURVEY.md §4 intra-node parallelism —
+    e.g. UK-Union at 5.5B edges is ~44 GB, inside one node's RAM). The
+    vertex-sharded Graph remains the >node-RAM path.
+    """
+
+    replicated = True
+
+    def __init__(self, actors, v_num: int, e_num: int):
+        self.actors = actors
+        self.num_parts = 1
+        self.boundaries = np.array([0, v_num], dtype=np.int64)
+        self.v_num = v_num
+        self.e_num = e_num
+        self.hub_vids = np.empty(0, np.int64)
+
+    @classmethod
+    def from_arrays(
+        cls,
+        src: np.ndarray,
+        dst: np.ndarray,
+        weight: np.ndarray | None = None,
+        etype: np.ndarray | None = None,
+        num_workers: int = 8,
+        v_num: int | None = None,
+        seed: int = 42,
+    ) -> "WalkerPool":
+        from .csr import build_csr
+
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        if v_num is None:
+            v_num = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1) if len(src) else 0
+        csr = build_csr(0, v_num, src, dst, weight, etype)
+        csr_ref = ray.put(csr)
+        boundaries = np.array([0, v_num], dtype=np.int64)
+        actors = [
+            GraphShard.remote(
+                0, boundaries, v_num, None, None, seed=seed + i, prebuilt_csr=csr_ref, build_routing=False
+            )
+            for i in range(num_workers)
+        ]
+        ray.get([a.ready.remote() for a in actors])
+        return cls(actors, v_num, len(src))
+
+    close = Graph.close
+    __enter__ = Graph.__enter__
+    __exit__ = Graph.__exit__

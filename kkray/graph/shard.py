@@ -38,6 +38,12 @@ class ShardCore(WalkMixin):
         weight: np.ndarray | None = None,
         etype: np.ndarray | None = None,
         seed: int = 42,
+        hub_vids: np.ndarray | None = None,
+        hub_outdeg: np.ndarray | None = None,
+        ghost_hidx: np.ndarray | None = None,
+        ghost_dst: np.ndarray | None = None,
+        prebuilt_csr: CSRShard | None = None,
+        build_routing: bool = True,
     ):
         self.part_id = int(part_id)
         self.boundaries = np.asarray(boundaries, dtype=np.int64)
@@ -46,9 +52,29 @@ class ShardCore(WalkMixin):
         self.lo = int(self.boundaries[part_id])
         self.hi = int(self.boundaries[part_id + 1])
         self.seed = seed
-        self.csr: CSRShard = build_csr(self.lo, self.hi, src, dst, weight, etype)
+        # prebuilt_csr: the replicated-walk path — CSR arrays built ONCE on
+        # the driver, ray.put into plasma, shared zero-copy by every worker
+        # in the pool (no per-actor sort or copy).
+        self.csr: CSRShard = (
+            prebuilt_csr if prebuilt_csr is not None else build_csr(self.lo, self.hi, src, dst, weight, etype)
+        )
         self.outdeg = self.csr.out_degree()
-        self._build_routing()
+        # --- heavy-vertex splitting (SURVEY.md §4 skew handling) ---
+        # hub_vids: global list of split vertices; this shard holds the
+        # ghost edge slice (ghost_hidx -> hub_vids index, ghost_dst).
+        # The owner keeps the hub's rank/label state; its full degree
+        # lives in outdeg_full (the CSR holds none of a hub's edges).
+        self.hub_vids = hub_vids if hub_vids is not None else np.empty(0, np.int64)
+        self.hub_outdeg = hub_outdeg if hub_outdeg is not None else np.empty(0, np.int64)
+        self._ghost_hidx = ghost_hidx if ghost_hidx is not None else np.empty(0, np.int64)
+        self._ghost_dst = ghost_dst if ghost_dst is not None else np.empty(0, np.int64)
+        self.outdeg_full = self.outdeg.copy()
+        owned = (self.hub_vids >= self.lo) & (self.hub_vids < self.hi)
+        self.outdeg_full[self.hub_vids[owned] - self.lo] = self.hub_outdeg[owned]
+        self._owned_hub_mask = owned
+        if build_routing:
+            self._build_routing()
+            self._build_ghost_routing()
         # lazily-built sampling structures (per walk spec)
         self._wcum: np.ndarray | None = None
         # per-job vertex state
@@ -87,6 +113,48 @@ class ShardCore(WalkMixin):
             self._seg_starts.append(starts.astype(np.int64))
             self._seg_dsts.append(d_loc[starts] if e > s else np.empty(0, dtype=np.int64))
 
+    def _build_ghost_routing(self):
+        """Per-target-partition routing for this shard's ghost (split-hub)
+        edge slice — same reduceat-combiner layout as _build_routing."""
+        dst = self._ghost_dst
+        self._g_seg_starts: list[np.ndarray] = []
+        self._g_seg_dsts: list[np.ndarray] = []
+        if len(dst) == 0:
+            self._g_route_bounds = np.zeros(self.num_parts + 1, dtype=np.int64)
+            self._g_dst_local = np.empty(0, np.int64)
+            self._g_hidx = np.empty(0, np.int64)
+            self._g_seg_starts = [np.empty(0, np.int64)] * self.num_parts
+            self._g_seg_dsts = [np.empty(0, np.int64)] * self.num_parts
+            return
+        dpart = part_of(dst, self.boundaries)
+        order = np.argsort(dpart, kind="stable")
+        self._g_route_bounds = np.searchsorted(dpart[order], np.arange(self.num_parts + 1))
+        self._g_dst_local = np.empty(len(dst), dtype=np.int64)
+        self._g_hidx = np.empty(len(dst), dtype=np.int64)
+        for p in range(self.num_parts):
+            s, e = self._g_route_bounds[p], self._g_route_bounds[p + 1]
+            sl = order[s:e]
+            d_loc = dst[sl] - self.boundaries[p]
+            o2 = np.argsort(d_loc, kind="stable")
+            sl = sl[o2]
+            d_loc = d_loc[o2]
+            self._g_dst_local[s:e] = d_loc
+            self._g_hidx[s:e] = self._ghost_hidx[sl]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(d_loc)) + 1]) if e > s else np.empty(0, np.int64)
+            self._g_seg_starts.append(starts.astype(np.int64))
+            self._g_seg_dsts.append(d_loc[starts] if e > s else np.empty(0, np.int64))
+
+    def hub_values(self, kind: str):
+        """Owner-side per-superstep hub state publish (tiny: one scalar per
+        owned hub). kind 'pr' -> rank/outdeg contribution; 'label' -> label."""
+        idx = np.flatnonzero(self._owned_hub_mask)
+        if len(idx) == 0:
+            return idx, np.empty(0, np.float64 if kind == "pr" else np.int64)
+        loc = self.hub_vids[idx] - self.lo
+        if kind == "pr":
+            return idx, self.rank[loc] / np.maximum(self.hub_outdeg[idx], 1)
+        return idx, self.label[loc]
+
     def part_size(self, p: int) -> int:
         return int(self.boundaries[p + 1] - self.boundaries[p])
 
@@ -109,18 +177,31 @@ class ShardCore(WalkMixin):
     def pr_init(self, value: float | None = None):
         self.rank = np.full(self.csr.size, (1.0 / self.v_num) if value is None else value, dtype=np.float64)
 
-    def pr_scatter(self):
+    def pr_scatter(self, hub_contrib: np.ndarray | None = None):
         """Returns P dense partial-sum arrays (one per target partition) +
         the local dangling-rank scalar. Sender-side combining: each edge's
         contribution rank(src)/outdeg(src) is bincount-folded into the
-        target's dense vector here, so the exchange moves O(V) not O(E)."""
-        contrib = np.where(self.outdeg > 0, self.rank / np.maximum(self.outdeg, 1), 0.0)
+        target's dense vector here, so the exchange moves O(V) not O(E).
+
+        hub_contrib: per-split-hub rank/deg values (driver-assembled from
+        hub_values) — this shard folds its ghost edge slice in too."""
+        contrib = np.where(self.outdeg_full > 0, self.rank / np.maximum(self.outdeg_full, 1), 0.0)
         per_edge = contrib[self._r_src_idx]
         out = []
         for p in range(self.num_parts):
             s, e = self._route_bounds[p], self._route_bounds[p + 1]
-            out.append(np.bincount(self._r_dst_local[s:e], weights=per_edge[s:e], minlength=self.part_size(p)))
-        dangling = float(self.rank[self.outdeg == 0].sum())
+            acc = np.bincount(self._r_dst_local[s:e], weights=per_edge[s:e], minlength=self.part_size(p)).astype(
+                np.float64, copy=False
+            )
+            gs, ge = self._g_route_bounds[p], self._g_route_bounds[p + 1]
+            if ge > gs and hub_contrib is not None:
+                acc += np.bincount(
+                    self._g_dst_local[gs:ge],
+                    weights=hub_contrib[self._g_hidx[gs:ge]],
+                    minlength=self.part_size(p),
+                )
+            out.append(acc)
+        dangling = float(self.rank[self.outdeg_full == 0].sum())
         return (*out, dangling)
 
     def pr_gather(self, damping: float, dangling_total: float, *partials) -> float:
@@ -143,19 +224,26 @@ class ShardCore(WalkMixin):
     def cc_init(self):
         self.label = np.arange(self.lo, self.hi, dtype=np.int64)
 
-    def cc_scatter(self):
+    def cc_scatter(self, hub_labels: np.ndarray | None = None):
         """Per target partition: (unique_dst_local, min source-label) —
-        segment-min via reduceat (sender-side combiner)."""
+        segment-min via reduceat (sender-side combiner). Ghost (split-hub)
+        edges contribute their hub's label the same way."""
         vals_all = self.label[self._r_src_idx]
         out = []
         for p in range(self.num_parts):
             s, e = self._route_bounds[p], self._route_bounds[p + 1]
             starts = self._seg_starts[p]
             if e > s and len(starts):
-                mins = np.minimum.reduceat(vals_all[s:e], starts)
+                dsts, mins = self._seg_dsts[p], np.minimum.reduceat(vals_all[s:e], starts)
             else:
-                mins = np.empty(0, dtype=np.int64)
-            out.append((self._seg_dsts[p], mins))
+                dsts, mins = self._seg_dsts[p], np.empty(0, dtype=np.int64)
+            gs, ge = self._g_route_bounds[p], self._g_route_bounds[p + 1]
+            if ge > gs and hub_labels is not None:
+                gstarts = self._g_seg_starts[p]
+                gmins = np.minimum.reduceat(hub_labels[self._g_hidx[gs:ge]], gstarts)
+                dsts = np.concatenate([dsts, self._g_seg_dsts[p]])
+                mins = np.concatenate([mins, gmins])
+            out.append((dsts, mins))
         return tuple(out)
 
     def cc_gather(self, *partials) -> int:
@@ -177,15 +265,20 @@ class ShardCore(WalkMixin):
     def lp_init(self):
         self.label = np.arange(self.lo, self.hi, dtype=np.int64)
 
-    def lp_scatter(self):
+    def lp_scatter(self, hub_labels: np.ndarray | None = None):
         """Per target partition: sparse (dst_local, label, count) triples —
-        the per-batch (dst,label) pre-count that SURVEY.md §2.7 calls for."""
+        the per-batch (dst,label) pre-count that SURVEY.md §2.7 calls for.
+        Ghost edges contribute (dst, hub_label) pairs too."""
         labs_all = self.label[self._r_src_idx]
         out = []
         for p in range(self.num_parts):
             s, e = self._route_bounds[p], self._route_bounds[p + 1]
             d = self._r_dst_local[s:e]
             l = labs_all[s:e]
+            gs, ge = self._g_route_bounds[p], self._g_route_bounds[p + 1]
+            if ge > gs and hub_labels is not None:
+                d = np.concatenate([d, self._g_dst_local[gs:ge]])
+                l = np.concatenate([l, hub_labels[self._g_hidx[gs:ge]]])
             if len(d) == 0:
                 out.append((d, l, np.empty(0, dtype=np.int64)))
                 continue
@@ -235,6 +328,8 @@ class ShardCore(WalkMixin):
     def tri_build(self, rank_arr: np.ndarray):
         """rank_arr: dense global (deg,id) rank, broadcast via ray.put once
         (sandbox path; the >RAM path is a rank join — documented)."""
+        if len(self.hub_vids):
+            raise ValueError("triangle counting needs full adjacency: build without split_threshold")
         self._tri_rank = np.asarray(rank_arr)
         src_idx = np.repeat(np.arange(self.csr.size, dtype=np.int64), self.outdeg)
         u_glob = src_idx + self.lo

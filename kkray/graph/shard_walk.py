@@ -46,6 +46,12 @@ def _concat(batches: list[dict]) -> dict:
 class WalkMixin:
     # ------------------------------------------------------------------ #
     def walk_begin(self, spec: dict, seed: int, collect_paths: bool = True):
+        if len(getattr(self, "hub_vids", ())):
+            raise ValueError(
+                "walks need full adjacency per vertex: build the graph "
+                "without split_threshold (heavy-vertex splitting is for the "
+                "scatter-gather analytics; hub sampling is O(1) anyway)"
+            )
         self._wspec = spec
         self._wseed = int(seed)
         self._collect = collect_paths
@@ -156,7 +162,7 @@ class WalkMixin:
         inner = 0
         moved = 0
         while len(wid):
-            rng = rng_for(self._wseed, self.part_id, superstep, inner)
+            rng = rng_for(self._wseed, self.part_id + self.seed, superstep, inner)
             cur_local = cur - self.lo
             deg = self.outdeg[cur_local]
             alive = deg > 0  # degree-0 termination (reference walk.hpp:956-960)
@@ -257,7 +263,7 @@ class WalkMixin:
             self._parked = None
             return (*[_EMPTY() for _ in range(P)], *empty_q, {"moved": 0, "parked": 0, "local": 0})
         wid, step, cur, prev = W["wid"], W["step"], W["cur"], W["prev"]
-        rng = rng_for(self._wseed, self.part_id, superstep, 0)
+        rng = rng_for(self._wseed, self.part_id + self.seed, superstep, 0)
         cur_local = cur - self.lo
         deg = self.outdeg[cur_local]
         alive = (deg > 0) & (step < spec["length"])
@@ -281,7 +287,7 @@ class WalkMixin:
         park_rows: list[tuple] = []
         rnd = 0
         while n and rnd < RETRY:
-            rng = rng_for(self._wseed, self.part_id, superstep, rnd + 1)
+            rng = rng_for(self._wseed, self.part_id + self.seed, superstep, rnd + 1)
             cur_local = cur - self.lo
             pos = self._sample(cur_local, rng)
             cand = self.csr.indices[pos]

@@ -1,0 +1,157 @@
+"""Edge-file storage formats — parity with the reference's readers/writers
+(SURVEY.md §2.1).
+
+* binary edge file (reference read_graph/write_graph, include/storage.hpp:36-66):
+  raw packed little-endian records — (src u64, dst u64) unweighted or
+  (src u64, dst u64, weight f32) weighted. (The reference packs u32 vids,
+  type.hpp:30; we widen to u64 for 10^12-doc scale — SURVEY §4 scale
+  limits. Record layout is otherwise the same idea: edge count =
+  filesize / record size, readers slice by byte ranges.)
+* text edge list (reference read_edgelist/write_edgelist,
+  include/storage.hpp:107-186): "src dst" or "src dst weight" lines;
+  reading is a Ray Data read_text + vectorized parse map_batches (the
+  newline-boundary partitioning of storage.hpp:84-105 comes free with
+  block splitting).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+_REC_UNW = np.dtype([("src", "<u8"), ("dst", "<u8")])
+_REC_W = np.dtype([("src", "<u8"), ("dst", "<u8"), ("weight", "<f4")])
+
+
+def write_binary_edges(path: str, src: np.ndarray, dst: np.ndarray, weight: np.ndarray | None = None):
+    rec = np.empty(len(src), dtype=_REC_W if weight is not None else _REC_UNW)
+    rec["src"] = src
+    rec["dst"] = dst
+    if weight is not None:
+        rec["weight"] = weight
+    rec.tofile(path)
+
+
+def read_binary_edges(path: str, weighted: bool = False, num_blocks: int = 8) -> ray.data.Dataset:
+    """Distributed binary edge read: byte-range slices at record
+    boundaries, one read task per slice (the per-rank contiguous slicing of
+    reference storage.hpp:36-55, expressed as Ray tasks -> Dataset)."""
+    rec = _REC_W if weighted else _REC_UNW
+    n = os.path.getsize(path) // rec.itemsize
+    bounds = np.linspace(0, n, num_blocks + 1).astype(np.int64)
+
+    @ray.remote
+    def read_slice(lo: int, hi: int) -> pa.Table:
+        arr = np.fromfile(path, dtype=rec, count=hi - lo, offset=lo * rec.itemsize)
+        cols = {"src": pa.array(arr["src"], pa.uint64()), "dst": pa.array(arr["dst"], pa.uint64())}
+        if weighted:
+            cols["weight"] = pa.array(arr["weight"], pa.float32())
+        return pa.table(cols)
+
+    refs = [read_slice.remote(int(lo), int(hi)) for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
+    if not refs:
+        cols = {"src": pa.array([], pa.uint64()), "dst": pa.array([], pa.uint64())}
+        if weighted:
+            cols["weight"] = pa.array([], pa.float32())
+        return ray.data.from_arrow(pa.table(cols))
+    return ray.data.from_arrow_refs(refs)
+
+
+def _write_text_blocks(ds: ray.data.Dataset, out_dir: str, col: str = "text"):
+    """Plain-text sink: one file per block (reference writes one file per
+    rank, walk.hpp:829-832)."""
+    os.makedirs(out_dir, exist_ok=True)
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def dump(t: pa.Table, path: str) -> int:
+        with open(path, "w") as f:
+            for line in t.column(col).to_pylist():
+                f.write(line + "\n")
+        return t.num_rows
+
+    ray.get([dump.remote(r, os.path.join(out_dir, "part-%05d.txt" % i)) for i, r in enumerate(refs)])
+
+
+def write_edgelist_text(edges: ray.data.Dataset, path: str):
+    """Text edge list writer (reference write_edgelist, storage.hpp:159-186):
+    one "src dst [weight]" line per edge, one file per block."""
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        if "weight" in t.column_names:
+            w = t.column("weight").to_numpy(zero_copy_only=False)
+            lines = ["%d %d %g" % (a, b, c) for a, b, c in zip(src, dst, w)]
+        else:
+            lines = ["%d %d" % (a, b) for a, b in zip(src, dst)]
+        return pa.table({"text": pa.array(lines, pa.string())})
+
+    _write_text_blocks(edges.map_batches(to_lines, batch_format="pyarrow"), path)
+
+
+def read_edgelist_text(paths: str | list[str], weighted: bool = False) -> ray.data.Dataset:
+    """Text edge list reader (reference read_edgelist, storage.hpp:124-157):
+    whitespace-separated "src dst [weight]" lines, vectorized parse."""
+    txt = ray.data.read_text(paths)
+
+    def parse(t: pa.Table) -> pa.Table:
+        rows = [l.split() for l in t.column("text").to_pylist() if l.strip()]
+        src = np.array([int(r[0]) for r in rows], dtype=np.uint64)
+        dst = np.array([int(r[1]) for r in rows], dtype=np.uint64)
+        cols = {"src": pa.array(src, pa.uint64()), "dst": pa.array(dst, pa.uint64())}
+        if weighted:
+            cols["weight"] = pa.array(np.array([float(r[2]) for r in rows], dtype=np.float32), pa.float32())
+        return pa.table(cols)
+
+    return txt.map_batches(parse, batch_format="pyarrow")
+
+
+def gconvert(text_path: str, bin_path: str, weighted: bool = False):
+    """Text -> binary converter (the reference's gconverter tool,
+    src/tools/gconverter.cpp:93-115)."""
+    df = read_edgelist_text(text_path, weighted=weighted).to_pandas()
+    write_binary_edges(
+        bin_path,
+        df["src"].to_numpy(dtype=np.uint64),
+        df["dst"].to_numpy(dtype=np.uint64),
+        df["weight"].to_numpy(dtype=np.float32) if weighted else None,
+    )
+
+
+def dump_paths_text(paths: ray.data.Dataset, out_dir: str, with_head_info: bool = False):
+    """Walk-path text dump (reference PathSet::dump, include/path.hpp:85-109):
+    one path per line, vertices space-separated; with_head_info prepends
+    "walker_id length"."""
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        wids = t.column("walker_id").to_pylist()
+        lens = t.column("length").to_pylist()
+        ps = t.column("path").to_pylist()
+        if with_head_info:
+            lines = ["%d %d %s" % (w, l, " ".join(map(str, p))) for w, l, p in zip(wids, lens, ps)]
+        else:
+            lines = [" ".join(map(str, p)) for p in ps]
+        return pa.table({"text": pa.array(lines, pa.string())})
+
+    _write_text_blocks(paths.map_batches(to_lines, batch_format="pyarrow"), out_dir)
+
+
+def read_metapath_schemes(path: str) -> list[list[int]]:
+    """Scheme config reader (reference read_metapath_schemes,
+    src/apps/metascheme.hpp:69-116) — JSON list of schemes, each a list of
+    allowed-edge-type bitmasks per position."""
+    import json
+
+    with open(path) as f:
+        return [[int(m) for m in s] for s in json.load(f)]
+
+
+def write_metapath_schemes(path: str, schemes: list[list[int]]):
+    import json
+
+    with open(path, "w") as f:
+        json.dump([[int(m) for m in s] for s in schemes], f)

@@ -43,20 +43,29 @@ def order_chain_edges(sf_dir: str) -> ray.data.Dataset:
     return dedup_edges(pairs)
 
 
-def cooccurrence_edges(sf_dir: str) -> ray.data.Dataset:
-    """Undirected distinct co-occurring part pairs (both directions)."""
+def cooccurrence_edges(sf_dir: str, num_partitions: int = 16) -> ray.data.Dataset:
+    """Undirected distinct co-occurring part pairs (both directions).
+    Expressed as a hash-partitioned self-join on the order key (the
+    all-pairs-within-group explode), then src<dst filter + exact dedup —
+    fully vectorized, no per-group python calls."""
     li = lineitem_ds(sf_dir)
 
-    def pairs_in_order(g):
-        import pandas as pd
+    def left(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "src": t.column("l_partkey").cast(pa.int64())})
 
-        parts = np.unique(g["l_partkey"].to_numpy())
-        if len(parts) < 2:
-            return pd.DataFrame({"src": [], "dst": []})
-        ii, jj = np.triu_indices(len(parts), 1)
-        return pd.DataFrame({"src": parts[ii], "dst": parts[jj]})
+    def right(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "dst": t.column("l_partkey").cast(pa.int64())})
 
-    pairs = li.groupby("l_orderkey").map_groups(pairs_in_order, batch_format="pandas")
+    joined = li.map_batches(left, batch_format="pyarrow").join(
+        li.map_batches(right, batch_format="pyarrow"),
+        "inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+    )
+    pairs = joined.map_batches(
+        lambda t: t.filter(pc.less(t.column("src"), t.column("dst"))).select(["src", "dst"]),
+        batch_format="pyarrow",
+    )
     from ..io.edges import dedup_edges, undirect
 
     return undirect(dedup_edges(pairs))

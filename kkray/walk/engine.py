@@ -27,7 +27,7 @@ def _init_walkers(graph, wspec: WalkerSpec, seed: int) -> list[dict]:
     walk.hpp:440-497; equal dist walk.hpp:403-411 keeps the exact
     ``i % v_num`` semantics for parity)."""
     n = wspec.walker_num
-    wid = np.arange(n, dtype=np.int64)
+    wid = np.arange(n, dtype=np.int64) + wspec.wid_offset
     if isinstance(wspec.start, np.ndarray):
         start = wspec.start.astype(np.int64)
         if len(start) != n:
@@ -55,14 +55,48 @@ def random_walk(
     seed: int = 42,
     collect_paths: bool = True,
     return_dataset: bool = False,
+    walk_rate: float | None = None,
+    output_dir: str | None = None,
 ):
     """Run a walk; returns assembled paths (see assemble_paths) or the raw
     footprints Dataset. Stateless wrt the graph: multiple walks can run on
-    one loaded Graph (reference README.md:20 semantics)."""
+    one loaded Graph (reference README.md:20 semantics).
+
+    walk_rate (reference E12, walk.hpp:706-711): run `rate`-sized walker
+    epochs to bound in-flight footprint memory; with `output_dir`, each
+    epoch writes `epoch=K/` parquet and an existing complete epoch dir is
+    SKIPPED on rerun (resumable layout)."""
+    if walk_rate is not None and 0 < walk_rate < 1:
+        import os
+
+        n = wspec.walker_num
+        size = max(1, int(np.ceil(n * walk_rate)))
+        outs = []
+        for ei, lo in enumerate(range(0, n, size)):
+            epoch_walkers = min(size, n - lo)
+            sub = WalkerSpec(epoch_walkers, wspec.start, wid_offset=lo)
+            edir = os.path.join(output_dir, "epoch=%05d" % ei) if output_dir else None
+            if edir and os.path.isdir(edir) and any(f.endswith(".parquet") for f in os.listdir(edir)):
+                outs.append(ray.data.read_parquet(edir))
+                continue
+            r = random_walk(
+                graph, sub, tspec, seed=seed + ei, collect_paths=collect_paths,
+                return_dataset=return_dataset,
+            )
+            if edir:
+                r.write_parquet(edir)
+                r = ray.data.read_parquet(edir)
+            outs.append(r)
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.union(o)
+        return out
     actors = graph.actors
     P = graph.num_parts
     spec = tspec.to_dict()
     ray.get([a.walk_begin.remote(spec, seed, collect_paths) for a in actors])
+    if getattr(graph, "replicated", False):
+        return _run_replicated(graph, wspec, spec, seed, return_dataset)
     seeds = _init_walkers(graph, wspec, seed)
     if spec["kind"] == "node2vec":
         for s in seeds:
@@ -90,6 +124,54 @@ def random_walk(
     if return_dataset:
         return ds
     return assemble_paths(ds)
+
+
+def _run_replicated(graph, wspec: WalkerSpec, spec: dict, seed: int, return_dataset: bool):
+    """Replicated-CSR drive (WalkerPool): walkers split round-robin across
+    workers; every step is local, so first-order walks finish in ONE call
+    per worker and second-order in pure-local supersteps with no query
+    exchange."""
+    actors = graph.actors
+    W = len(actors)
+    n = wspec.walker_num
+    wid = np.arange(n, dtype=np.int64) + wspec.wid_offset
+    if isinstance(wspec.start, np.ndarray):
+        start = wspec.start.astype(np.int64)
+        start = start[wid % len(start)] if len(start) != n else start
+    elif wspec.start == "equal":
+        start = wid % graph.v_num
+    elif wspec.start == "uniform":
+        start = rng_for(seed, 0xA11CE).integers(0, graph.v_num, n)
+    else:
+        raise ValueError(wspec.start)
+    chunks = []
+    for i in range(W):
+        m = (wid % W) == i
+        chunk = {"wid": wid[m], "step": np.zeros(int(m.sum()), dtype=np.int64), "cur": start[m]}
+        if spec["kind"] == "node2vec":
+            chunk["prev"] = np.full(int(m.sum()), -1, dtype=np.int64)
+        elif spec["kind"] == "metapath":
+            chunk["scheme"] = chunk["wid"] % len(spec["schemes"])
+            chunk["mstate"] = np.zeros(int(m.sum()), dtype=np.int64)
+        chunks.append(chunk)
+    ray.get([a.walk_seed.remote(c) for a, c in zip(actors, chunks)])
+    if spec["kind"] == "node2vec":
+        superstep = 0
+        active = [True] * W
+        while any(active) and superstep < MAX_SUPERSTEPS:
+            refs = [a.n2v_stepA.options(num_returns=3).remote(superstep)[2] for a, al in zip(actors, active) if al]
+            counts = ray.get(refs)
+            live = iter(counts)
+            active = [al and next(live)["local"] > 0 for al in active]
+            superstep += 1
+    else:
+        ray.get([a.walk_step.remote(0) for a in actors])
+    fps = ray.get([a.walk_footprints.remote() for a in actors])
+    w = np.concatenate([f[0] for f in fps])
+    s = np.concatenate([f[1] for f in fps])
+    v = np.concatenate([f[2] for f in fps])
+    ds = ray.data.from_arrow(pa.table({"walker_id": pa.array(w), "step": pa.array(s), "vertex": pa.array(v)}))
+    return ds if return_dataset else assemble_paths(ds)
 
 
 def _drive_first_order(actors, P):

@@ -31,6 +31,7 @@ import numpy as np
 class WalkerSpec:
     walker_num: int
     start: str | np.ndarray = "equal"  # "equal" | "uniform" | array of start vids
+    wid_offset: int = 0  # first walker id (walk-rate epochs carry global ids)
 
 
 @dataclass

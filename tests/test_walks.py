@@ -36,12 +36,17 @@ def _empirical(paths, v):
     return m
 
 
-def _check_rows(emp_counts, analytic, min_samples=300, tol=0.16):
+def _check_rows(emp_counts, analytic, min_samples=300):
+    """Variance-scaled L1 bound per row (the reference's sum-of-squares
+    variance bound, test_walk.hpp:73-118): E[L1] ~ sqrt(2k/(pi n)) for a
+    k-support multinomial with n samples; allow 3x."""
     rows = emp_counts.sum(axis=1)
     checked = 0
     for u in np.flatnonzero(rows >= min_samples):
         emp = emp_counts[u] / rows[u]
-        assert np.abs(emp - analytic[u]).sum() < tol, f"row {u}: L1={np.abs(emp-analytic[u]).sum():.3f}"
+        k = int((analytic[u] > 0).sum())
+        tol = max(0.1, 3.0 * np.sqrt(2 * k / (np.pi * rows[u])))
+        assert np.abs(emp - analytic[u]).sum() < tol, f"row {u}: L1={np.abs(emp-analytic[u]).sum():.3f} tol={tol:.3f}"
         # support check: impossible transitions must never occur
         assert not np.any((analytic[u] == 0) & (emp > 0)), f"row {u}: support violation"
         checked += 1
