@@ -125,12 +125,33 @@ class Graph:
         weighted: bool = False,
         typed: bool = False,
         seed: int = 42,
+        split_threshold: int | None = None,
     ) -> "Graph":
         """Dataset build path: degree aggregation as a groupby (the shuffle
         stays in Ray Data), then a single routed pass into per-partition
         arrow refs. The degree *vector* is materialized driver-side to cut
         the boundary array (fine to ~100M vertices; the larger path cuts
         boundaries from a degree-quantile sketch instead — future work)."""
+        if split_threshold is not None:
+            # hub extraction happens driver-side on the collected arrays:
+            # stream-collect then delegate (hub edges are few by definition,
+            # but identifying them needs the degree vector first)
+            cols = ["src", "dst"] + (["weight"] if weighted else []) + (["etype"] if typed else [])
+            arrs = {c: [] for c in cols}
+            for batch in edges.iter_batches(batch_format="pyarrow", batch_size=1 << 18):
+                for c in cols:
+                    arrs[c].append(batch.column(c).to_numpy(zero_copy_only=False))
+            cat = {c: (np.concatenate(v) if v else np.empty(0, np.int64)) for c, v in arrs.items()}
+            return cls.from_arrays(
+                cat["src"],
+                cat["dst"],
+                cat.get("weight"),
+                cat.get("etype"),
+                num_parts=num_parts,
+                v_num=v_num,
+                seed=seed,
+                split_threshold=split_threshold,
+            )
         deg_tbl = edges.groupby("src").count().to_pandas()
         if v_num is None:
             mx_src = int(deg_tbl["src"].max()) if len(deg_tbl) else -1

@@ -56,6 +56,7 @@ class WalkMixin:
         self._wseed = int(seed)
         self._collect = collect_paths
         self._fp: list[tuple] = []  # footprint chunks (wid, step, vertex)
+        self._final: list[tuple] = []  # (wid, step, wstate) at termination — the reference's COLLECT_WALKER_INIT_STATE test hook (walk.hpp:1383-1456)
         self._nsteps = 0  # walked edges accepted on this shard (bench metric)
         self._frontier: dict = {}
         self._parked = None
@@ -156,8 +157,8 @@ class WalkMixin:
         if not W:
             return (*[_EMPTY() for _ in range(self.num_parts)], 0)
         wid, step, cur = W["wid"], W["step"], W["cur"]
-        scheme = W.get("scheme")
-        mstate = W.get("mstate")
+        # optional walker-state columns that travel with the walker
+        ex = {k: W[k] for k in ("scheme", "mstate", "prev", "wstate") if k in W}
         need_ext = np.ones(len(wid), dtype=bool)
         inner = 0
         moved = 0
@@ -173,29 +174,66 @@ class WalkMixin:
                 alive &= np.where(need_ext, draw < spec["alpha"], True)
             elif kind == "metapath":
                 alive &= step < spec["length"]
-                allowed = self._scheme_masks[self._scheme_off[scheme] + mstate]
+                allowed = self._scheme_masks[self._scheme_off[ex["scheme"]] + ex["mstate"]]
                 alive &= (self._vtypemask[cur_local] & allowed) != 0
+            elif kind == "custom":
+                alive &= step < spec["length"]
+                if spec.get("extension_fn") is not None:
+                    cont = spec["extension_fn"](step, cur)
+                    draw = rng.random(len(wid))
+                    alive &= np.where(need_ext, draw < cont, True)
             # note: rows with need_ext=False (rejection retries) already
-            # passed this superstep's extension test — geometric doesn't
+            # passed this superstep's extension test — geometric/custom don't
             # re-draw for them, preserving the retry distribution
             if not alive.all():
                 keep = alive
+                if "wstate" in ex:
+                    dead = ~alive
+                    self._final.append((wid[dead].copy(), step[dead].copy(), ex["wstate"][dead].copy()))
                 wid, step, cur = wid[keep], step[keep], cur[keep]
                 need_ext = need_ext[keep]
-                if scheme is not None:
-                    scheme, mstate = scheme[keep], mstate[keep]
+                ex = {k: v[keep] for k, v in ex.items()}
                 if not len(wid):
                     break
                 cur_local = cur - self.lo
             pos = self._sample(cur_local, rng)
             cand = self.csr.indices[pos]
             if kind == "metapath":
-                allowed = self._scheme_masks[self._scheme_off[scheme] + mstate]
+                allowed = self._scheme_masks[self._scheme_off[ex["scheme"]] + ex["mstate"]]
                 ok = ((np.int64(1) << self.csr.etypes[pos].astype(np.int64)) & allowed) != 0
+            elif kind == "custom" and spec.get("dynamic_fn") is not None:
+                # rejection with bounds (reference walk.hpp:1030-1040):
+                # dart = r*ub; pre-accept when dart<=lb, else evaluate hook
+                dart = rng.random(len(wid)) * spec["dynamic_ub"]
+                ok = dart <= spec["dynamic_lb"]
+                rest = ~ok
+                if rest.any():
+                    prev_arr = ex["prev"] if "prev" in ex else np.full(len(wid), -1, dtype=np.int64)
+                    ws_arr = ex["wstate"] if "wstate" in ex else np.zeros(len(wid), dtype=np.int64)
+                    dyn = spec["dynamic_fn"](step[rest], cur[rest], cand[rest], prev_arr[rest], ws_arr[rest])
+                    ok[rest] = dart[rest] <= dyn
             else:
                 ok = np.ones(len(wid), dtype=bool)
             # accepted rows advance; rejected retry next inner iteration
             a = ok
+
+            def advanced_ex(mask2):
+                """walker-state columns after an accepted step for rows a&mask2."""
+                outx = {}
+                if "scheme" in ex:
+                    sa = ex["scheme"][a][mask2]
+                    outx["scheme"] = sa
+                    outx["mstate"] = (ex["mstate"][a][mask2] + 1) % self._scheme_len[sa]
+                if "prev" in ex:
+                    outx["prev"] = cur[a][mask2]
+                if "wstate" in ex:
+                    fn = spec.get("state_update_fn")
+                    ws = ex["wstate"][a][mask2]
+                    if fn is not None:
+                        ws = fn(ws, step[a][mask2], cur[a][mask2], cand[a][mask2])
+                    outx["wstate"] = ws
+                return outx
+
             if a.any():
                 wid_a, cand_a = wid[a], cand[a]
                 step_a = step[a] + 1
@@ -207,6 +245,7 @@ class WalkMixin:
                 if (~stay).any():
                     mov = ~stay
                     moved += int(mov.sum())
+                    exm = advanced_ex(mov)
                     mp = cpart[mov]
                     order = np.argsort(mp, kind="stable")
                     bounds = np.searchsorted(mp[order], np.arange(self.num_parts + 1))
@@ -219,32 +258,25 @@ class WalkMixin:
                                 "step": step_a[mov][sl],
                                 "cur": cand_a[mov][sl],
                             }
-                            if scheme is not None:
-                                sa = scheme[a][mov][sl]
-                                ma = (mstate[a][mov][sl] + 1) % self._scheme_len[sa]
-                                chunk["scheme"], chunk["mstate"] = sa, ma
+                            for k, v in exm.items():
+                                chunk[k] = v[sl]
                             out_chunks[p].append(chunk)
                 # stayers continue the local loop
                 ns = stay
                 new_wid = wid_a[ns]
                 new_step = step_a[ns]
                 new_cur = cand_a[ns]
-                if scheme is not None:
-                    new_scheme = scheme[a][ns]
-                    new_mstate = (mstate[a][ns] + 1) % self._scheme_len[new_scheme]
+                new_ex = advanced_ex(ns)
             else:
                 new_wid = np.empty(0, np.int64)
                 new_step = new_cur = new_wid
-                if scheme is not None:
-                    new_scheme = new_mstate = new_wid
+                new_ex = {k: np.empty(0, v.dtype) for k, v in ex.items()}
             r = ~a
             wid = np.concatenate([new_wid, wid[r]])
             step = np.concatenate([new_step, step[r]])
             cur = np.concatenate([new_cur, cur[r]])
             need_ext = np.concatenate([np.ones(len(new_wid), dtype=bool), np.zeros(int(r.sum()), dtype=bool)])
-            if scheme is not None:
-                scheme = np.concatenate([new_scheme, scheme[r]])
-                mstate = np.concatenate([new_mstate, mstate[r]])
+            ex = {k: np.concatenate([new_ex[k], ex[k][r]]) for k in ex}
             inner += 1
         out = []
         for p in range(self.num_parts):
@@ -446,6 +478,13 @@ class WalkMixin:
     # ------------------------------------------------------------------ #
     def walk_steps_taken(self) -> int:
         return self._nsteps
+
+    def walk_final_states(self):
+        """Terminal (wid, step, wstate) triples collected on this shard."""
+        if not self._final:
+            e = np.empty(0, np.int64)
+            return e, e, e
+        return tuple(np.concatenate([c[i] for c in self._final]) for i in range(3))
 
     def walk_footprints(self):
         """Return collected (wid, step, vertex) footprint arrays."""

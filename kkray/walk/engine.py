@@ -22,6 +22,21 @@ from .spec import Node2vecSpec, TransitionSpec, WalkerSpec
 MAX_SUPERSTEPS = 100_000
 
 
+def _add_custom_cols(chunk: dict, spec: dict):
+    """Seed the custom-kind walker-state columns (reference
+    walker_init_state_func, walk.hpp:147-193 — runs once per walker)."""
+    n = len(chunk["wid"])
+    if spec.get("track_prev"):
+        chunk["prev"] = np.full(n, -1, dtype=np.int64)
+    init = spec.get("state_init_fn")
+    if init is not None or spec.get("state_update_fn") is not None:
+        chunk["wstate"] = (
+            np.asarray(init(chunk["wid"], chunk["cur"]), dtype=np.int64)
+            if init is not None
+            else np.zeros(n, dtype=np.int64)
+        )
+
+
 def _init_walkers(graph, wspec: WalkerSpec, seed: int) -> list[dict]:
     """Vectorized walker init + routing (reference init_walkers
     walk.hpp:440-497; equal dist walk.hpp:403-411 keeps the exact
@@ -108,6 +123,9 @@ def random_walk(
             # walker_init_state, src/apps/metapath.hpp:70-90)
             s["scheme"] = s["wid"] % n_schemes
             s["mstate"] = np.zeros(len(s["wid"]), dtype=np.int64)
+    elif spec["kind"] == "custom":
+        for s in seeds:
+            _add_custom_cols(s, spec)
     ray.get([a.walk_seed.remote(s) for a, s in zip(actors, seeds)])
 
     if spec["kind"] == "node2vec":
@@ -153,6 +171,8 @@ def _run_replicated(graph, wspec: WalkerSpec, spec: dict, seed: int, return_data
         elif spec["kind"] == "metapath":
             chunk["scheme"] = chunk["wid"] % len(spec["schemes"])
             chunk["mstate"] = np.zeros(int(m.sum()), dtype=np.int64)
+        elif spec["kind"] == "custom":
+            _add_custom_cols(chunk, spec)
         chunks.append(chunk)
     ray.get([a.walk_seed.remote(c) for a, c in zip(actors, chunks)])
     if spec["kind"] == "node2vec":

@@ -36,14 +36,39 @@ class WalkerSpec:
 
 @dataclass
 class TransitionSpec:
-    kind: str = "truncated"  # "truncated" | "geometric" | "metapath"
-    length: int = 80  # max steps (edges) for truncated / metapath
+    kind: str = "truncated"  # "truncated" | "geometric" | "metapath" | "custom"
+    length: int = 80  # max steps (edges) for truncated / metapath / custom
     alpha: float = 1.0 - 1.0 / 80  # geometric continue-probability
     weighted: bool = False  # static comp = edge weight (else uniform)
     sampler: str = "cdf"  # "cdf" (searchsorted) | "alias" (O(1) buckets)
     schemes: list = field(default_factory=list)  # metapath: [ [allowed-type bitmask per position] ]
+    # --- "custom" kind: the open UDF surface (reference TransitionConfig,
+    # include/walk.hpp:195-271: P(e) = extension x static x dynamic).
+    # All hooks are VECTORIZED numpy callables shipped to the shard actors:
+    #   extension_fn(step, cur) -> continue-probability per walker
+    #     (reference extension_comp; None -> step<length ? 1 : 0)
+    #   dynamic_fn(step, cur, cand, prev, wstate) -> unnormalized dynamic
+    #     component per candidate (reference dynamic_comp; None -> 1);
+    #     requires dynamic_ub (reference's validity assert walk.hpp:251-261)
+    #   dynamic_ub / dynamic_lb: rejection bounds (dcomp_upperbound /
+    #     lowerbound, reference walk.hpp:1030-1040): accept iff
+    #     r*ub <= dynamic; pre-accept when r*ub <= lb without calling the hook
+    # walker state (reference WalkerConfig hooks, walk.hpp:147-193):
+    #   state_init_fn(wid, start) -> int64 state per walker
+    #   state_update_fn(wstate, step, cur, cand) -> new state (called once
+    #     per ACCEPTED step, matching walker_update_state_func timing)
+    extension_fn: object = None
+    dynamic_fn: object = None
+    dynamic_ub: float | None = None
+    dynamic_lb: float = 0.0
+    track_prev: bool = False  # carry previous vertex for dynamic_fn
+    state_init_fn: object = None
+    state_update_fn: object = None
 
     def to_dict(self) -> dict:
+        if self.kind == "custom":
+            if self.dynamic_fn is not None and self.dynamic_ub is None:
+                raise ValueError("dynamic_fn requires dynamic_ub (reference walk.hpp:251-261)")
         return {
             "kind": self.kind,
             "length": int(self.length),
@@ -51,6 +76,13 @@ class TransitionSpec:
             "weighted": bool(self.weighted),
             "sampler": self.sampler,
             "schemes": [[int(m) for m in s] for s in self.schemes],
+            "extension_fn": self.extension_fn,
+            "dynamic_fn": self.dynamic_fn,
+            "dynamic_ub": self.dynamic_ub,
+            "dynamic_lb": self.dynamic_lb,
+            "track_prev": bool(self.track_prev),
+            "state_init_fn": self.state_init_fn,
+            "state_update_fn": self.state_update_fn,
         }
 
 
