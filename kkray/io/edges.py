@@ -34,16 +34,13 @@ def links_from_pages(pages: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def _distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
-    """Exact distinct on `cols`: local per-batch dedup (combiner — shrinks the
-    shuffle, SURVEY.md §2.6 'set ops') then a global groupby."""
+    """Exact distinct on `cols` (SURVEY.md §2.6 'set ops'): local per-batch
+    dedup combiner, then the shard-then-vectorize global dedup
+    (kkray.ops.distinct_rows — one vectorized call per coarse shard, not
+    one python call per distinct key)."""
+    from ..ops import distinct_rows
 
-    def local(t: pa.Table) -> pa.Table:
-        return t.select(cols).group_by(cols).aggregate([])
-
-    ds = ds.map_batches(local, batch_format="pyarrow")
-    return ds.groupby(cols[0] if len(cols) == 1 else cols).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
+    return distinct_rows(ds, cols)
 
 
 def zip_with_index(ds: ray.data.Dataset, id_col: str = "vid") -> ray.data.Dataset:

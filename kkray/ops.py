@@ -1,0 +1,108 @@
+"""Shared distributed operator helpers.
+
+Ray Data's ``groupby(key).map_groups(fn)`` invokes ``fn`` once per GROUP —
+fine for thousands of groups, pathological for millions of distinct keys
+(LSH buckets, distinct-row dedup). These helpers use the shard-then-
+vectorize pattern instead: hash keys into ``num_shards`` coarse shards
+(one shuffle, same volume), then process each whole shard with ONE
+vectorized pandas/numpy call.
+
+Row hashing uses ``pd.util.hash_pandas_object`` (stable 64-bit siphash,
+deterministic across processes — safe for resumable runs).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def _shard_of(df: pd.DataFrame, cols: list[str], num_shards: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(df[cols], index=False).to_numpy()
+    return (h % np.uint64(num_shards)).astype(np.int32)
+
+
+def distinct_rows(ds: ray.data.Dataset, cols: list[str], num_shards: int = 64) -> ray.data.Dataset:
+    """Exact distinct over `cols`: per-batch local dedup (combiner) ->
+    shard by row hash -> per-shard vectorized dedup."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].drop_duplicates()
+        out = out.assign(_shard=_shard_of(out, cols, num_shards))
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(cols)[cols]
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+def bucket_pairs(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    id_col: str,
+    payload_col: str | None = None,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """All unordered id pairs sharing a key (the LSH candidate-pair
+    explode): shard by key hash, then per shard sort + run-detect + pair
+    expansion; the python loop touches only multi-member buckets.
+    Output: (a, b[, payload_a, payload_b]) with a < b, deduplicated."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        keep = key_cols + [id_col] + ([payload_col] if payload_col else [])
+        out = df[keep].copy()
+        out["_shard"] = _shard_of(out, key_cols, num_shards)
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_cols + [id_col]).drop_duplicates(key_cols + [id_col])
+        keys = pd.util.hash_pandas_object(g[key_cols], index=False).to_numpy()
+        ids = g[id_col].to_numpy()
+        pay = g[payload_col].to_numpy() if payload_col else None
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(keys) != 0) + 1, [len(keys)]])
+        a_out, b_out, pa_out, pb_out = [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            k = e - s
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            a_out.append(ids[s:e][ii])
+            b_out.append(ids[s:e][jj])
+            if pay is not None:
+                pa_out.append(pay[s:e][ii])
+                pb_out.append(pay[s:e][jj])
+        if not a_out:
+            cols = {"a": np.empty(0, ids.dtype), "b": np.empty(0, ids.dtype)}
+            if payload_col:
+                cols["payload_a"] = np.empty(0, pay.dtype)
+                cols["payload_b"] = np.empty(0, pay.dtype)
+            return pd.DataFrame(cols)
+        out = {"a": np.concatenate(a_out), "b": np.concatenate(b_out)}
+        if payload_col:
+            out["payload_a"] = np.concatenate(pa_out)
+            out["payload_b"] = np.concatenate(pb_out)
+        df = pd.DataFrame(out)
+        return df.drop_duplicates(["a", "b"])
+
+    paired = (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+    # cross-shard (a,b) dedup: same pair can surface from different keys
+    cols = ["a", "b"] + (["payload_a", "payload_b"] if payload_col else [])
+
+    def local2(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].drop_duplicates(["a", "b"])
+        return out.assign(_shard=_shard_of(out, ["a", "b"], num_shards))
+
+    return (
+        paired.map_batches(local2, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(lambda g: g.drop_duplicates(["a", "b"])[cols], batch_format="pandas")
+    )

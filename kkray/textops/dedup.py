@@ -89,16 +89,46 @@ class MinHasher:
         self.b = rng.integers(0, MERSENNE, num_perm, dtype=np.uint64)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        band_ids, band_hashes, ids = [], [], []
-        for did, text in zip(df["doc_id"], df["text"].fillna("")):
-            sig = _minhash_sig(_shingles(text, self.n), self.a, self.b)
+        # batch-vectorized: hash ALL shingles of the batch once, build the
+        # (num_perm x total_shingles) permutation values in one broadcast,
+        # then per-doc segment minima via minimum.reduceat — no per-doc
+        # python-level matrix work.
+        docs = df["text"].fillna("").tolist()
+        ids_in = df["doc_id"].to_numpy()
+        all_sh: list[str] = []
+        seg = [0]
+        for t in docs:
+            sh = _shingles(t, self.n)
+            all_sh.extend(sh)
+            seg.append(len(all_sh))
+        seg = np.asarray(seg)
+        n_docs = len(docs)
+        sigs = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if all_sh:
+            base = np.empty(len(all_sh), dtype=np.uint64)
+            for i, s in enumerate(all_sh):
+                base[i] = np.frombuffer(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), dtype=np.uint64)[0]
+            with np.errstate(over="ignore"):
+                x = base % MERSENNE
+                vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % MERSENNE  # (P, S)
+            nonempty = np.flatnonzero(np.diff(seg) > 0)
+            if len(nonempty):
+                starts = seg[nonempty]
+                mins = np.minimum.reduceat(vals, starts, axis=1)  # (P, n_nonempty)
+                sigs[nonempty] = mins.T.astype(np.uint64)
+        # band hashes: xor-fold each band's rows, then mix
+        band_hash = np.empty((n_docs, self.bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
             for bi in range(self.bands):
-                chunk = sig[bi * self.rows : (bi + 1) * self.rows]
-                bh = int(splitmix64(np.bitwise_xor.reduce(chunk + np.uint64(bi + 1))[None])[0])
-                band_ids.append(bi)
-                band_hashes.append(bh)
-                ids.append(did)
-        return pd.DataFrame({"band": band_ids, "band_hash": np.array(band_hashes, dtype=np.uint64), "doc_id": ids})
+                chunk = sigs[:, bi * self.rows : (bi + 1) * self.rows] + np.uint64(bi + 1)
+                band_hash[:, bi] = splitmix64(np.bitwise_xor.reduce(chunk, axis=1))
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(self.bands), n_docs),
+                "band_hash": band_hash.ravel(),
+                "doc_id": np.repeat(ids_in, self.bands),
+            }
+        )
 
 
 def minhash_lsh_pairs(
@@ -113,17 +143,9 @@ def minhash_lsh_pairs(
     n-gram Jaccard (pair-level recheck against the real shingle sets).
     Returns (a, b, jaccard) with a < b, jaccard >= threshold."""
     exploded = docs.map_batches(MinHasher(num_perm, bands, shingle_n, seed), batch_format="pandas", concurrency=8)
+    from ..ops import bucket_pairs
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ii, jj = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
-
-    cand = exploded.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
-    # dedup candidate pairs across bands
-    cand = cand.groupby(["a", "b"]).map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    cand = bucket_pairs(exploded, ["band", "band_hash"], "doc_id")
     # verify: join texts (broadcast — candidate verification needs both
     # texts; at >RAM scale this becomes two bucketed joins)
     texts = {r["doc_id"]: r["text"] for r in docs.select_columns(["doc_id", "text"]).take_all()}
@@ -211,21 +233,21 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Data
         return pd.DataFrame(rows, columns=["chunk", "chunk_val", "doc_id", "simhash"])
 
     exploded = sigs.map_batches(explode, batch_format="pandas")
+    from ..ops import bucket_pairs
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        ss = g["simhash"].to_numpy(dtype=np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        ii, jj = np.triu_indices(len(ids), 1)
-        x = ss[ii] ^ ss[jj]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        ok = ham <= max_hamming
-        return pd.DataFrame({"a": ids[ii][ok], "b": ids[jj][ok], "hamming": ham[ok]})
+    cand = bucket_pairs(exploded, ["chunk", "chunk_val"], "doc_id", payload_col="simhash")
 
-    pairs = exploded.groupby(["chunk", "chunk_val"]).map_groups(bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["a", "b"]).map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["payload_a"].to_numpy(dtype=np.uint64) ^ df["payload_b"].to_numpy(dtype=np.uint64)
+        ham = np.zeros(len(x), dtype=np.int64)
+        v = x.copy()
+        for _ in range(64):  # vectorized popcount
+            ham += (v & np.uint64(1)).astype(np.int64)
+            v >>= np.uint64(1)
+        out = pd.DataFrame({"a": df["a"], "b": df["b"], "hamming": ham})
+        return out[out["hamming"] <= max_hamming]
+
+    return cand.map_batches(verify, batch_format="pandas")
 
 
 def embedding_near_dup(
