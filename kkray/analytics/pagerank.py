@@ -51,10 +51,13 @@ def pagerank(
         hub = graph.hub_value_array("pr")
         href = ray.put(hub) if hub is not None else None
         scat = [a.pr_scatter.options(num_returns=P + 1).remote(href) for a in actors]
-        dangling_total = sum(ray.get([refs[P] for refs in scat]))
+        # dangling refs flow straight into every gather (summed there) —
+        # one driver barrier per superstep, not two
         deltas = ray.get(
             [
-                actors[p].pr_gather.remote(damping, dangling_total, *[scat[q][p] for q in range(P)])
+                actors[p].pr_gather.remote(
+                    damping, *[scat[q][P] for q in range(P)], *[scat[q][p] for q in range(P)]
+                )
                 for p in range(P)
             ]
         )
@@ -66,7 +69,6 @@ def pagerank(
                 parts,
                 metrics={
                     "delta_l1": delta,
-                    "dangling": dangling_total,
                     "superstep_sec": time.perf_counter() - t0,
                     "edges": graph.e_num,
                 },

@@ -224,6 +224,23 @@ class Graph:
     def out_degrees(self) -> np.ndarray:
         return self.gather_vertex_array("deg_get")
 
+    def in_degrees(self) -> np.ndarray:
+        """Global in-degree vector: per-shard dense partials summed at the
+        owner (reference graph.hpp:445-459 re-expressed as scatter+sum)."""
+        P = self.num_parts
+        refs = [a.indeg_partials.options(num_returns=P).remote() for a in self.actors]
+        out = np.zeros(self.v_num, dtype=np.int64)
+        for p in range(P):
+            lo = int(self.boundaries[p])
+            for part in ray.get([refs[q][p] for q in range(P)]):
+                out[lo : lo + len(part)] += part
+        return out
+
+    def map_vertices(self, fn) -> float:
+        """process_vertices parity (reference graph.hpp:920-941): apply a
+        vectorized per-vertex fn on every shard, sum the results globally."""
+        return float(sum(ray.get([a.vertex_apply.remote(fn) for a in self.actors])))
+
     def hub_value_array(self, kind: str) -> np.ndarray | None:
         """Assemble the per-superstep split-hub value vector (one scalar
         per hub, gathered from owners) for the ghost-edge scatters."""
@@ -279,6 +296,7 @@ class WalkerPool:
         num_workers: int = 8,
         v_num: int | None = None,
         seed: int = 42,
+        localize: bool = True,
     ) -> "WalkerPool":
         from .csr import build_csr
 
@@ -295,6 +313,12 @@ class WalkerPool:
             )
             for i in range(num_workers)
         ]
+        if localize:
+            # measured ~2x for probe-heavy walks: random access into the
+            # actor's own heap beats the shared plasma mapping; costs one
+            # CSR copy per worker (set localize=False to stay zero-copy
+            # when memory is tight)
+            ray.get([a.localize_csr.remote() for a in actors])
         ray.get([a.ready.remote() for a in actors])
         return cls(actors, v_num, len(src))
 

@@ -173,6 +173,39 @@ class ShardCore(WalkMixin):
     def deg_get(self):
         return self.lo, self.outdeg
 
+    def localize_csr(self) -> bool:
+        """Copy plasma-backed (zero-copy shared) CSR arrays into the
+        actor's own heap. Shared mappings can be slower for random-access
+        probe loops; copying trades memory (one CSR per worker) for
+        locality — measured before adoption, see WalkerPool."""
+        c = self.csr
+        self.csr = CSRShard(
+            lo=c.lo,
+            hi=c.hi,
+            indptr=np.array(c.indptr),
+            indices=np.array(c.indices),
+            weights=np.array(c.weights) if c.weights is not None else None,
+            etypes=np.array(c.etypes) if c.etypes is not None else None,
+        )
+        return True
+
+    def indeg_partials(self):
+        """Per target partition: dense in-degree contribution of this
+        shard's out-edges (reference in-degree Allreduce, graph.hpp:445-459
+        — partial+final pattern)."""
+        out = []
+        for p in range(self.num_parts):
+            s, e = self._route_bounds[p], self._route_bounds[p + 1]
+            out.append(np.bincount(self._r_dst_local[s:e], minlength=self.part_size(p)).astype(np.int64))
+        return tuple(out)
+
+    def vertex_apply(self, fn) -> float:
+        """Parallel map over the owned vertex range with global sum
+        reduction (reference process_vertices, graph.hpp:920-941).
+        fn(vids, out_degree) -> per-vertex float array."""
+        vids = np.arange(self.lo, self.hi, dtype=np.int64)
+        return float(np.asarray(fn(vids, self.outdeg_full)).sum())
+
     # ------------------------- PageRank ------------------------------- #
     def pr_init(self, value: float | None = None):
         self.rank = np.full(self.csr.size, (1.0 / self.v_num) if value is None else value, dtype=np.float64)
@@ -204,10 +237,16 @@ class ShardCore(WalkMixin):
         dangling = float(self.rank[self.outdeg_full == 0].sum())
         return (*out, dangling)
 
-    def pr_gather(self, damping: float, dangling_total: float, *partials) -> float:
-        """new = (1-d)/N + d*(Σ partials + dangling/N); returns L1 delta."""
+    def pr_gather(self, damping: float, *args) -> float:
+        """new = (1-d)/N + d*(Σ partials + dangling/N); returns L1 delta.
+        args = P per-sender dangling scalars followed by P partial arrays
+        (refs passed straight from pr_scatter — the dangling Allreduce
+        happens here instead of on the driver, saving one barrier per
+        superstep)."""
+        P = self.num_parts
+        dangling_total = float(sum(args[:P]))
         acc = np.zeros(self.csr.size, dtype=np.float64)
-        for part in partials:
+        for part in args[P:]:
             acc += part
         new = (1.0 - damping) / self.v_num + damping * (acc + dangling_total / self.v_num)
         delta = float(np.abs(new - self.rank).sum())
@@ -221,20 +260,28 @@ class ShardCore(WalkMixin):
         self.rank = np.asarray(values, dtype=np.float64).copy()
 
     # ------------------ Connected components (min-label) --------------- #
+    _I64MAX = np.iinfo(np.int64).max
+
     def cc_init(self):
         self.label = np.arange(self.lo, self.hi, dtype=np.int64)
+        self._cc_changed = np.ones(self.csr.size, dtype=bool)
 
     def cc_scatter(self, hub_labels: np.ndarray | None = None):
         """Per target partition: (unique_dst_local, min source-label) —
-        segment-min via reduceat (sender-side combiner). Ghost (split-hub)
-        edges contribute their hub's label the same way."""
-        vals_all = self.label[self._r_src_idx]
+        segment-min via reduceat (sender-side combiner). Delta-optimized:
+        vertices whose label did not change last superstep contribute the
+        +inf neutral element and their segments are dropped from the
+        message (the frontier shrinks fast once components settle).
+        Ghost (split-hub) edges contribute their hub's label the same way."""
+        vals_all = np.where(self._cc_changed, self.label, self._I64MAX)[self._r_src_idx]
         out = []
         for p in range(self.num_parts):
             s, e = self._route_bounds[p], self._route_bounds[p + 1]
             starts = self._seg_starts[p]
             if e > s and len(starts):
-                dsts, mins = self._seg_dsts[p], np.minimum.reduceat(vals_all[s:e], starts)
+                mins = np.minimum.reduceat(vals_all[s:e], starts)
+                live = mins != self._I64MAX
+                dsts, mins = self._seg_dsts[p][live], mins[live]
             else:
                 dsts, mins = self._seg_dsts[p], np.empty(0, dtype=np.int64)
             gs, ge = self._g_route_bounds[p], self._g_route_bounds[p + 1]
@@ -251,7 +298,8 @@ class ShardCore(WalkMixin):
         for dsts, mins in partials:
             if len(dsts):
                 np.minimum.at(new, dsts, mins)
-        changed = int((new != self.label).sum())
+        self._cc_changed = new != self.label
+        changed = int(self._cc_changed.sum())
         self.label = new
         return changed
 
@@ -260,6 +308,9 @@ class ShardCore(WalkMixin):
 
     def cc_set(self, values: np.ndarray):
         self.label = np.asarray(values, dtype=np.int64).copy()
+        # conservative after resume: treat everything as changed so the
+        # first post-resume superstep re-sends all labels
+        self._cc_changed = np.ones(self.csr.size, dtype=bool)
 
     # ---------------- Label propagation (majority label) ---------------- #
     def lp_init(self):

@@ -447,6 +447,17 @@ class WalkMixin:
         else:
             self._frontier = batch
 
+    def n2v_run_local(self, max_supersteps: int = 1 << 20) -> int:
+        """Replicated-pool fast path: this worker owns the FULL graph
+        (P=1), so no proposal can ever park on a remote membership query —
+        run the whole second-order walk to completion in one actor call
+        (no per-superstep driver round-trips)."""
+        ss = 0
+        while len(self._frontier.get("wid", ())) and ss < max_supersteps:
+            self.n2v_stepA(ss)
+            ss += 1
+        return ss
+
     def n2v_respond(self, *query_batches):
         """Answer membership queries addressed to this shard (the
         respond_query_func round, reference walk.hpp:1277-1324)."""

@@ -176,14 +176,7 @@ def _run_replicated(graph, wspec: WalkerSpec, spec: dict, seed: int, return_data
         chunks.append(chunk)
     ray.get([a.walk_seed.remote(c) for a, c in zip(actors, chunks)])
     if spec["kind"] == "node2vec":
-        superstep = 0
-        active = [True] * W
-        while any(active) and superstep < MAX_SUPERSTEPS:
-            refs = [a.n2v_stepA.options(num_returns=3).remote(superstep)[2] for a, al in zip(actors, active) if al]
-            counts = ray.get(refs)
-            live = iter(counts)
-            active = [al and next(live)["local"] > 0 for al in active]
-            superstep += 1
+        ray.get([a.n2v_run_local.remote(MAX_SUPERSTEPS) for a in actors])
     else:
         ray.get([a.walk_step.remote(0) for a in actors])
     fps = ray.get([a.walk_footprints.remote() for a in actors])

@@ -73,3 +73,17 @@ def test_empty_graph(ray_session):
         r = pagerank(g, max_iters=5)
         assert np.allclose(r, 0.25)
         assert triangle_count(g) == 0
+
+
+def test_in_degrees_and_map_vertices(ray_session):
+    from kkray.graph import Graph
+
+    src, dst = random_edges(120, 900, seed=77)
+    with Graph.from_arrays(src, dst, num_parts=4, v_num=120) as g:
+        indeg = g.in_degrees()
+        assert np.array_equal(indeg, np.bincount(dst, minlength=120))
+        # process_vertices parity: global sum of a per-vertex function
+        total = g.map_vertices(lambda vids, deg: deg * 2.0)
+        assert total == 2.0 * len(src)
+        nonzero = g.map_vertices(lambda vids, deg: (deg > 0).astype(float))
+        assert nonzero == float(len(np.unique(src)))
