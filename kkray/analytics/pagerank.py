@@ -46,6 +46,18 @@ def pagerank(
     else:
         ray.get([a.pr_init.remote() for a in actors])
 
+    if tol is None and checkpoint is None and not len(graph.hub_vids) and max_iters > start_iter:
+        # fixed-iteration fast path: submit EVERY superstep's scatters and
+        # gathers up front — actor serial execution orders scatter_{k+1}
+        # after gather_k on each shard, and gather_k waits on scatter_k's
+        # refs, so the dataflow pipelines with no driver barrier in the
+        # critical path (the driver only collects the final deltas).
+        for _ in range(start_iter, max_iters):
+            scat = [a.pr_scatter_packed.remote(None) for a in actors]
+            deltas = [a.pr_gather_packed.remote(damping, *scat) for a in actors]
+        ray.get(deltas)
+        return graph.gather_vertex_array("pr_get")
+
     for it in range(start_iter, max_iters):
         t0 = time.perf_counter()
         hub = graph.hub_value_array("pr")

@@ -296,7 +296,7 @@ class WalkerPool:
         num_workers: int = 8,
         v_num: int | None = None,
         seed: int = 42,
-        localize: bool = True,
+        localize: bool = False,
     ) -> "WalkerPool":
         from .csr import build_csr
 
@@ -305,6 +305,7 @@ class WalkerPool:
         if v_num is None:
             v_num = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1) if len(src) else 0
         csr = build_csr(0, v_num, src, dst, weight, etype)
+        csr.precompute_composite()  # once, driver-side — never per worker
         csr_ref = ray.put(csr)
         boundaries = np.array([0, v_num], dtype=np.int64)
         actors = [
@@ -314,10 +315,6 @@ class WalkerPool:
             for i in range(num_workers)
         ]
         if localize:
-            # measured ~2x for probe-heavy walks: random access into the
-            # actor's own heap beats the shared plasma mapping; costs one
-            # CSR copy per worker (set localize=False to stay zero-copy
-            # when memory is tight)
             ray.get([a.localize_csr.remote() for a in actors])
         ray.get([a.ready.remote() for a in actors])
         return cls(actors, v_num, len(src))

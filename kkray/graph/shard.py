@@ -186,6 +186,7 @@ class ShardCore(WalkMixin):
             indices=np.array(c.indices),
             weights=np.array(c.weights) if c.weights is not None else None,
             etypes=np.array(c.etypes) if c.etypes is not None else None,
+            comp=np.array(c.comp) if c.comp is not None else None,
         )
         return True
 
@@ -248,6 +249,29 @@ class ShardCore(WalkMixin):
         acc = np.zeros(self.csr.size, dtype=np.float64)
         for part in args[P:]:
             acc += part
+        new = (1.0 - damping) / self.v_num + damping * (acc + dangling_total / self.v_num)
+        delta = float(np.abs(new - self.rank).sum())
+        self.rank = new
+        return delta
+
+    def pr_scatter_packed(self, hub_contrib: np.ndarray | None = None) -> np.ndarray:
+        """Single-object variant of pr_scatter: all P per-target partials
+        concatenated in boundary order, with the dangling scalar appended
+        as the last element. One plasma object per sender per superstep
+        (P objects total instead of P^2 — on one node receivers slice
+        zero-copy; on a multi-node cluster per-pair objects move less data,
+        so this is the single-node/same-node-group exchange)."""
+        parts = self.pr_scatter(hub_contrib)
+        return np.concatenate([*parts[: self.num_parts], [parts[self.num_parts]]])
+
+    def pr_gather_packed(self, damping: float, *sender_arrays) -> float:
+        """Gather from packed sender arrays: slice own range + dangling tail."""
+        off = int(self.lo)
+        acc = np.zeros(self.csr.size, dtype=np.float64)
+        dangling_total = 0.0
+        for arr in sender_arrays:
+            acc += arr[off : off + self.csr.size]
+            dangling_total += arr[-1]
         new = (1.0 - damping) / self.v_num + damping * (acc + dangling_total / self.v_num)
         delta = float(np.abs(new - self.rank).sum())
         self.rank = new
@@ -406,19 +430,23 @@ class ShardCore(WalkMixin):
         indptr = self._tri_indptr
         npairs = (deg * (deg - 1)) // 2
         total = int(npairs.sum())
-        v_arr = np.empty(total, dtype=np.int64)
-        w_arr = np.empty(total, dtype=np.int64)
-        pos = 0
-        # vectorized per-vertex pair expansion (python loop over local
-        # vertices with deg>=2 only; inner work is numpy)
-        for u in np.flatnonzero(deg >= 2):
-            a = adj[indptr[u] : indptr[u + 1]]
-            k = len(a)
-            iu, ju = np.triu_indices(k, 1)
-            n = len(iu)
-            v_arr[pos : pos + n] = a[iu]
-            w_arr[pos : pos + n] = a[ju]
-            pos += n
+        # fully vectorized pair expansion: per-pair local index r inverted
+        # to (i,j) with the triangular-number formula (float sqrt + integer
+        # correction) — no python loop over vertices
+        if total:
+            u_rep = np.repeat(np.arange(len(deg), dtype=np.int64), npairs)
+            offs = np.concatenate([[0], np.cumsum(npairs)[:-1]])
+            r = np.arange(total, dtype=np.int64) - np.repeat(offs, npairs)
+            j = ((1.0 + np.sqrt(1.0 + 8.0 * r.astype(np.float64))) // 2).astype(np.int64)
+            j = np.where(j * (j - 1) // 2 > r, j - 1, j)
+            j = np.where((j + 1) * j // 2 <= r, j + 1, j)
+            i = r - j * (j - 1) // 2
+            base = indptr[u_rep]
+            v_arr = adj[base + i]
+            w_arr = adj[base + j]
+        else:
+            v_arr = np.empty(0, dtype=np.int64)
+            w_arr = np.empty(0, dtype=np.int64)
         w_rank = self._tri_rank[w_arr]
         vpart = part_of(v_arr, self.boundaries)
         order = np.argsort(vpart, kind="stable")
