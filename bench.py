@@ -202,8 +202,8 @@ def run_scaling(repeat: int = 2) -> dict:
     # (the sf0.1 part-graphs are latency-bound at any parallelism and are
     # excluded — totals still include them for reference)
     # dedup_minhash excluded: at sf0.1 (50k docs) the stage is Ray Data
-        # orchestration-bound (~90% fixed overhead), input too small to scale
-        core = ["triangles", "pagerank_synth", "deepwalk_synth", "node2vec_synth"]
+    # orchestration-bound (~90% fixed overhead), input too small to scale
+    core = ["triangles", "pagerank_synth", "deepwalk_synth", "node2vec_synth"]
     t_lo = sum(lo["queries"][q] for q in core)
     t_hi = sum(hi["queries"][q] for q in core)
     eff = (t_lo / t_hi) / (32 / 8)
