@@ -524,7 +524,7 @@ def oracle_sql() -> dict[str, str]:
                    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
             FROM documents""",
         "lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
-        "source_stats": "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars FROM documents GROUP BY source",
+        "source_stats": "SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars FROM documents GROUP BY source",
         "embedding_label_counts": "SELECT label::BIGINT AS label, count(*) AS n FROM embeddings GROUP BY label",
         "knn_cosine_top5": """
             WITH q AS (SELECT vec_id AS query_vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 3),

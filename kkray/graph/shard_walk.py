@@ -506,6 +506,16 @@ class WalkMixin:
         v = np.concatenate([c[2] for c in self._fp])
         return w, s, v
 
+    def walk_footprints_table(self):
+        """Footprints as ONE pyarrow Table: called via .remote(), the table
+        lands in the object store and the driver only handles the ref
+        (``from_arrow_refs``) — O(1) driver memory regardless of walk size
+        (replaces the reference's footprint shuffle source, path.hpp:164-250)."""
+        import pyarrow as pa
+
+        w, s, v = self.walk_footprints()
+        return pa.table({"walker_id": pa.array(w), "step": pa.array(s), "vertex": pa.array(v)})
+
     def walk_fp_clear(self):
         self._fp = []
         return True

@@ -91,15 +91,26 @@ def random_walk(
             epoch_walkers = min(size, n - lo)
             sub = WalkerSpec(epoch_walkers, wspec.start, wid_offset=lo)
             edir = os.path.join(output_dir, "epoch=%05d" % ei) if output_dir else None
-            if edir and os.path.isdir(edir) and any(f.endswith(".parquet") for f in os.listdir(edir)):
+            # write_parquet is multi-file and non-atomic: an epoch counts as
+            # complete only once its _SUCCESS sentinel exists (written AFTER
+            # the parquet write returns); a crash mid-epoch leaves no
+            # sentinel and the rerun rewrites the whole epoch dir.
+            sentinel = os.path.join(edir, "_SUCCESS") if edir else None
+            if sentinel and os.path.exists(sentinel):
                 outs.append(ray.data.read_parquet(edir))
                 continue
+            if edir and os.path.isdir(edir):
+                import shutil
+
+                shutil.rmtree(edir)  # partial epoch from a crashed run
             r = random_walk(
                 graph, sub, tspec, seed=seed + ei, collect_paths=collect_paths,
                 return_dataset=return_dataset,
             )
             if edir:
                 r.write_parquet(edir)
+                with open(sentinel, "w") as f:
+                    f.write("ok\n")
                 r = ray.data.read_parquet(edir)
             outs.append(r)
         out = outs[0]
@@ -119,8 +130,11 @@ def random_walk(
     elif spec["kind"] == "metapath":
         n_schemes = len(spec["schemes"])
         for s in seeds:
-            # scheme assignment: walker id round-robin (reference metapath
-            # walker_init_state, src/apps/metapath.hpp:70-90)
+            # scheme assignment: deliberate deterministic DEVIATION from the
+            # reference (metapath.hpp:88-94 draws the scheme uniformly at
+            # random per walker); wid round-robin keeps replay/resume exact
+            # at the cost of a slightly skewed scheme distribution when
+            # walker_num % n_schemes != 0
             s["scheme"] = s["wid"] % n_schemes
             s["mstate"] = np.zeros(len(s["wid"]), dtype=np.int64)
     elif spec["kind"] == "custom":
@@ -133,12 +147,10 @@ def random_walk(
     else:
         _drive_first_order(actors, P)
 
-    fps = ray.get([a.walk_footprints.remote() for a in actors])
-    w = np.concatenate([f[0] for f in fps])
-    s = np.concatenate([f[1] for f in fps])
-    v = np.concatenate([f[2] for f in fps])
-    tbl = pa.table({"walker_id": pa.array(w), "step": pa.array(s), "vertex": pa.array(v)})
-    ds = ray.data.from_arrow(tbl)
+    # footprints stay in the object store: one arrow-table ref per shard,
+    # never concatenated on the driver (reference path.hpp:164-250 shuffle)
+    refs = [a.walk_footprints_table.remote() for a in actors]
+    ds = ray.data.from_arrow_refs(refs)
     if return_dataset:
         return ds
     return assemble_paths(ds)
@@ -179,11 +191,8 @@ def _run_replicated(graph, wspec: WalkerSpec, spec: dict, seed: int, return_data
         ray.get([a.n2v_run_local.remote(MAX_SUPERSTEPS) for a in actors])
     else:
         ray.get([a.walk_step.remote(0) for a in actors])
-    fps = ray.get([a.walk_footprints.remote() for a in actors])
-    w = np.concatenate([f[0] for f in fps])
-    s = np.concatenate([f[1] for f in fps])
-    v = np.concatenate([f[2] for f in fps])
-    ds = ray.data.from_arrow(pa.table({"walker_id": pa.array(w), "step": pa.array(s), "vertex": pa.array(v)}))
+    refs = [a.walk_footprints_table.remote() for a in actors]
+    ds = ray.data.from_arrow_refs(refs)
     return ds if return_dataset else assemble_paths(ds)
 
 
@@ -235,24 +244,48 @@ def _drive_second_order(actors, P):
             break
 
 
-def assemble_paths(footprints: ray.data.Dataset) -> ray.data.Dataset:
+def assemble_paths(footprints: ray.data.Dataset, num_shards: int = 64) -> ray.data.Dataset:
     """footprints(walker_id, step, vertex) -> paths(walker_id, length,
-    path list<int64>). Ray Data groupby replaces the reference's
-    deterministic walker->segment arithmetic (path.hpp:338-391)."""
+    path list<int64>).
 
-    def to_path(g):
-        import pandas as pd
+    Shard-then-vectorize (kkray.ops pattern; reference footprint shuffle +
+    bucket sort, path.hpp:338-391): hash walker ids into coarse shards so
+    every step of a walker co-locates, then ONE lexsort + run-detect per
+    shard builds all paths as a zero-copy arrow list column — no per-walker
+    Python call, no driver materialization."""
 
-        g = g.sort_values("step")
-        return pd.DataFrame(
-            {
-                "walker_id": [g["walker_id"].iloc[0]],
-                "length": [len(g) - 1],
-                "path": [g["vertex"].to_numpy().tolist()],
-            }
-        )
+    def add_shard(t: pa.Table) -> pa.Table:
+        w = t.column("walker_id").to_numpy(zero_copy_only=False)
+        # splitmix-style avalanche so contiguous wid ranges spread evenly
+        h = (w.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        return t.append_column("_shard", pa.array((h % np.uint64(num_shards)).astype(np.int32)))
 
-    return footprints.groupby("walker_id").map_groups(to_path, batch_format="pandas")
+    def per_shard(t: pa.Table) -> pa.Table:
+        w = t.column("walker_id").to_numpy(zero_copy_only=False)
+        if len(w) == 0:
+            return pa.table(
+                {
+                    "walker_id": pa.array([], pa.int64()),
+                    "length": pa.array([], pa.int64()),
+                    "path": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        s = t.column("step").to_numpy(zero_copy_only=False)
+        v = t.column("vertex").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, w))
+        w, v = w[order], np.ascontiguousarray(v[order], dtype=np.int64)
+        starts = np.flatnonzero(np.diff(w) != 0) + 1
+        offsets = np.concatenate(([0], starts, [len(w)])).astype(np.int32)
+        wids = w[offsets[:-1]]
+        lengths = (np.diff(offsets.astype(np.int64))) - 1
+        path = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(v, pa.int64()))
+        return pa.table({"walker_id": pa.array(wids), "length": pa.array(lengths), "path": path})
+
+    return (
+        footprints.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
 
 
 def paths_to_numpy(paths_ds: ray.data.Dataset) -> dict[int, np.ndarray]:

@@ -88,7 +88,21 @@ def test_walk_rate_epochs(ray_session, tmp_path):
 
     epochs = sorted(os.listdir(str(tmp_path / "w")))
     assert epochs == ["epoch=%05d" % i for i in range(4)]
-    # rerun skips completed epochs (resumable layout) and returns same rows
+    # every complete epoch carries a _SUCCESS sentinel (write_parquet is
+    # non-atomic; the sentinel is the commit marker)
+    for e in epochs:
+        assert os.path.exists(str(tmp_path / "w" / e / "_SUCCESS"))
+    # simulate a crash mid-epoch: drop epoch 2's sentinel and one part file
+    crash = tmp_path / "w" / "epoch=00002"
+    os.remove(str(crash / "_SUCCESS"))
+    os.remove(str(crash / sorted(f for f in os.listdir(str(crash)) if f.endswith(".parquet"))[0]))
+    # rerun skips committed epochs, REWRITES the partial one, same rows out
     with Graph.from_arrays(src, dst, num_parts=3, v_num=40) as g2:
         out2 = deepwalk(g2, walker_num=50, length=6, seed=2, walk_rate=0.25, output_dir=str(tmp_path / "w"))
-        assert len(out2.to_pandas()) == 50
+        df2 = out2.to_pandas()
+    assert len(df2) == 50
+    assert os.path.exists(str(crash / "_SUCCESS"))
+    a = df.sort_values("walker_id").reset_index(drop=True)
+    b = df2.sort_values("walker_id").reset_index(drop=True)
+    assert (a["walker_id"] == b["walker_id"]).all()
+    assert all(list(x) == list(y) for x, y in zip(a["path"], b["path"]))
