@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .partition import degree_aware_boundaries, part_of
+from .partition import degree_aware_boundaries, part_of, sampled_boundaries
 from .shard import GraphShard
 
 
@@ -126,89 +126,134 @@ class Graph:
         typed: bool = False,
         seed: int = 42,
         split_threshold: int | None = None,
+        layout_dir: str | None = None,
+        exact_degree_limit: int = 1 << 27,
+        boundary_sample: int = 1 << 20,
     ) -> "Graph":
-        """Dataset build path: degree aggregation as a groupby (the shuffle
-        stays in Ray Data), then a single routed pass into per-partition
-        arrow refs. The degree *vector* is materialized driver-side to cut
-        the boundary array (fine to ~100M vertices; the larger path cuts
-        boundaries from a degree-quantile sketch instead — future work)."""
-        if split_threshold is not None:
-            # hub extraction happens driver-side on the collected arrays:
-            # stream-collect then delegate (hub edges are few by definition,
-            # but identifying them needs the degree vector first)
-            cols = ["src", "dst"] + (["weight"] if weighted else []) + (["etype"] if typed else [])
-            arrs = {c: [] for c in cols}
-            for batch in edges.iter_batches(batch_format="pyarrow", batch_size=1 << 18):
-                for c in cols:
-                    arrs[c].append(batch.column(c).to_numpy(zero_copy_only=False))
-            cat = {c: (np.concatenate(v) if v else np.empty(0, np.int64)) for c, v in arrs.items()}
-            return cls.from_arrays(
-                cat["src"],
-                cat["dst"],
-                cat.get("weight"),
-                cat.get("etype"),
-                num_parts=num_parts,
-                v_num=v_num,
-                seed=seed,
-                split_threshold=split_threshold,
-            )
-        deg_tbl = edges.groupby("src").count().to_pandas()
-        if v_num is None:
-            mx_src = int(deg_tbl["src"].max()) if len(deg_tbl) else -1
-            mx_dst = edges.max("dst") if edges.count() else -1
-            v_num = max(mx_src, int(mx_dst)) + 1
-        outdeg = np.zeros(v_num, dtype=np.int64)
-        if len(deg_tbl):
-            outdeg[deg_tbl["src"].to_numpy(dtype=np.int64)] = deg_tbl["count()"].to_numpy(dtype=np.int64)
-        boundaries = degree_aware_boundaries(outdeg, num_parts)
+        """Distributed Dataset build path — nothing edge-sized touches the
+        driver (the 100 TB route, reference load_graph graph.hpp:408-530):
 
-        bcast = ray.put(boundaries)
+        1. one aggregate pass -> (max src, max dst, e_num);
+        2. boundaries: exact degree vector via groupby below
+           ``exact_degree_limit`` vertices, else from a deterministic
+           uniform edge sample of the src column (quantile sketch —
+           O(boundary_sample) driver memory at any scale);
+        3. hub detection (split_threshold): groupby count filtered to
+           deg > threshold — only hub rows reach the driver;
+        4. ONE routed ``write_parquet(partition_cols=["part"])`` pass into
+           a hive layout (resumable artifact; one dir per partition; hub
+           edges flagged ghost and dealt by edge hash);
+        5. each GraphShard actor reads ONLY its own part=<p>/ dir.
+        """
+        import os
+        import tempfile
 
-        class AddPart:
-            def __init__(self):
-                self.b = ray.get(bcast)
+        from ray.data.aggregate import Count, Max
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                p = part_of(t.column("src").to_numpy(zero_copy_only=False), self.b)
-                return t.append_column("part", pa.array(p.astype(np.int32)))
-
-        routed = edges.map_batches(AddPart, batch_format="pyarrow", concurrency=(1, 8))
-        # collect per-partition arrays via streamed iteration (blocks stay
-        # arrow; concatenation is per-partition numpy)
-        per_part: dict[int, list] = {p: [] for p in range(len(boundaries) - 1)}
         cols = ["src", "dst"] + (["weight"] if weighted else []) + (["etype"] if typed else [])
-        for batch in routed.iter_batches(batch_format="pyarrow", batch_size=1 << 18):
-            parts = batch.column("part").to_numpy()
-            order = np.argsort(parts, kind="stable")
-            bounds = np.searchsorted(parts[order], np.arange(len(boundaries)))
-            arrs = {c: batch.column(c).to_numpy(zero_copy_only=False) for c in cols}
-            for p in range(len(boundaries) - 1):
-                sl = order[bounds[p] : bounds[p + 1]]
-                if len(sl):
-                    per_part[p].append({c: arrs[c][sl] for c in cols})
-        actors = []
-        e_num = 0
-        for p in range(len(boundaries) - 1):
-            chunks = per_part[p]
-            cat = {
-                c: (np.concatenate([ch[c] for ch in chunks]) if chunks else np.empty(0, dtype=np.int64))
-                for c in cols
-            }
-            e_num += len(cat["src"])
-            actors.append(
-                GraphShard.remote(
-                    p,
-                    boundaries,
-                    v_num,
-                    cat["src"],
-                    cat["dst"],
-                    cat.get("weight"),
-                    cat.get("etype"),
-                    seed,
+        stats = edges.aggregate(Max("src"), Max("dst"), Count())
+        e_num = int(stats["count()"] or 0)
+        if v_num is None:
+            if e_num == 0:
+                v_num = 0
+            else:
+                v_num = int(max(stats["max(src)"], stats["max(dst)"])) + 1
+        # --- boundaries -------------------------------------------------- #
+        if v_num <= exact_degree_limit:
+            deg_tbl = edges.groupby("src").count().to_pandas() if e_num else None
+            outdeg = np.zeros(v_num, dtype=np.int64)
+            if deg_tbl is not None and len(deg_tbl):
+                outdeg[deg_tbl["src"].to_numpy(dtype=np.int64)] = deg_tbl["count()"].to_numpy(dtype=np.int64)
+            boundaries = degree_aware_boundaries(outdeg, num_parts)
+        else:
+            deg_tbl = None
+            rate = min(1.0, boundary_sample / max(e_num, 1))
+            thresh = np.uint64(min(2**64 - 1, int(rate * float(2**64 - 1))))
+            mix = np.uint64(0x9E3779B97F4A7C15)
+
+            def take_sample(t: pa.Table) -> pa.Table:
+                s = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+                d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+                h = (s * mix) ^ ((d + np.uint64(seed)) * np.uint64(0xC2B2AE3D27D4EB4F))
+                h ^= h >> np.uint64(33)
+                h *= mix
+                h ^= h >> np.uint64(29)
+                return pa.table({"src": pa.array(s[h <= thresh].astype(np.int64))})
+
+            samp = edges.map_batches(take_sample, batch_format="pyarrow").to_pandas()["src"].to_numpy()
+            boundaries = sampled_boundaries(samp, e_num, v_num, num_parts)
+        P = len(boundaries) - 1
+        # --- hub detection (distributed; only hub rows hit the driver) --- #
+        hub_vids = hub_outdeg = None
+        if split_threshold is not None and e_num:
+            if deg_tbl is not None:
+                hubs = deg_tbl[deg_tbl["count()"] > split_threshold]
+            else:
+                thr = int(split_threshold)
+                hubs = (
+                    edges.groupby("src")
+                    .count()
+                    .map_batches(lambda df: df[df["count()"] > thr], batch_format="pandas")
+                    .to_pandas()
                 )
+            if len(hubs):
+                order = np.argsort(hubs["src"].to_numpy())
+                hub_vids = hubs["src"].to_numpy(dtype=np.int64)[order]
+                hub_outdeg = hubs["count()"].to_numpy(dtype=np.int64)[order]
+        # --- routed hive layout ------------------------------------------ #
+        # broadcast once (ray.put), ray.get inside the task resolves from
+        # the node-local plasma cache — a plain task fn, NOT an actor pool:
+        # a fixed-size pool here can pin every CPU and starve the
+        # upstream/downstream stages of this very pipeline
+        bcast = ray.put((boundaries, hub_vids))
+        n_parts_local = P
+
+        def add_part(t: pa.Table) -> pa.Table:
+            b, hubs = ray.get(bcast)
+            s = t.column("src").to_numpy(zero_copy_only=False)
+            p = part_of(s, b).astype(np.int32)
+            ghost = np.zeros(len(s), dtype=np.int8)
+            if hubs is not None:
+                pos = np.searchsorted(hubs, s)
+                pos[pos >= len(hubs)] = 0
+                is_hub = hubs[pos] == s
+                if is_hub.any():
+                    d = t.column("dst").to_numpy(zero_copy_only=False)
+                    # deterministic deal of hub edges across ALL shards
+                    # (reference round-robin; hash keeps it stateless)
+                    h = (s[is_hub].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                        d[is_hub].astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+                    )
+                    h ^= h >> np.uint64(31)
+                    p[is_hub] = (h % np.uint64(n_parts_local)).astype(np.int32)
+                    ghost[is_hub] = 1
+            t = t.append_column("part", pa.array(p))
+            if hubs is not None:
+                t = t.append_column("ghost", pa.array(ghost))
+            return t
+
+        layout = layout_dir or tempfile.mkdtemp(prefix="kkray_graph_", dir="/tmp")
+        edges.map_batches(add_part, batch_format="pyarrow").write_parquet(
+            layout, partition_cols=["part"]
+        )
+        read_cols = cols + (["ghost"] if hub_vids is not None else [])
+        actors = [
+            GraphShard.remote(
+                p,
+                boundaries,
+                v_num,
+                None,
+                None,
+                seed=seed,
+                hub_vids=hub_vids,
+                hub_outdeg=hub_outdeg,
+                parquet_dir=os.path.join(layout, f"part={p}"),
+                parquet_cols=read_cols,
             )
+            for p in range(P)
+        ]
         ray.get([a.ready.remote() for a in actors])
-        return cls(actors, boundaries, v_num, e_num)
+        return cls(actors, boundaries, v_num, e_num, hub_vids, hub_outdeg)
 
     # ------------------------------------------------------------------ #
     def gather_vertex_array(self, getter: str) -> np.ndarray:

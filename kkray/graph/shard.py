@@ -44,6 +44,8 @@ class ShardCore(WalkMixin):
         ghost_dst: np.ndarray | None = None,
         prebuilt_csr: CSRShard | None = None,
         build_routing: bool = True,
+        parquet_dir: str | None = None,
+        parquet_cols: list[str] | None = None,
     ):
         self.part_id = int(part_id)
         self.boundaries = np.asarray(boundaries, dtype=np.int64)
@@ -52,6 +54,13 @@ class ShardCore(WalkMixin):
         self.lo = int(self.boundaries[part_id])
         self.hi = int(self.boundaries[part_id + 1])
         self.seed = seed
+        if parquet_dir is not None:
+            # the distributed build path: THIS actor reads only its own
+            # part=<id>/ slice of the routed layout (Graph.from_dataset) —
+            # edge arrays never pass through the driver
+            src, dst, weight, etype, ghost_hidx, ghost_dst = self._load_part_parquet(
+                parquet_dir, parquet_cols or ["src", "dst"], hub_vids
+            )
         # prebuilt_csr: the replicated-walk path — CSR arrays built ONCE on
         # the driver, ray.put into plasma, shared zero-copy by every worker
         # in the pool (no per-actor sort or copy).
@@ -80,6 +89,51 @@ class ShardCore(WalkMixin):
         # per-job vertex state
         self.rank: np.ndarray | None = None
         self.label: np.ndarray | None = None
+
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _load_part_parquet(parquet_dir: str, cols: list[str], hub_vids: np.ndarray | None):
+        """Read this partition's slice of the routed hive layout written by
+        Graph.from_dataset. Rows flagged ghost=1 are split-hub edges dealt
+        to this shard; their hub index is recomputed locally from the
+        (small, broadcast) hub_vids list."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        e64 = np.empty(0, np.int64)
+        want_ghost = "ghost" in cols
+        read_cols = [c for c in cols]
+        if not os.path.isdir(parquet_dir):
+            t = None
+        else:
+            t = pq.read_table(parquet_dir, columns=read_cols)
+        if t is None or t.num_rows == 0:
+            return (
+                e64,
+                e64,
+                np.empty(0, np.float64) if "weight" in cols else None,
+                e64 if "etype" in cols else None,
+                e64 if want_ghost else None,
+                e64 if want_ghost else None,
+            )
+        arr = {c: t.column(c).to_numpy(zero_copy_only=False) for c in read_cols}
+        src = arr["src"].astype(np.int64, copy=False)
+        dst = arr["dst"].astype(np.int64, copy=False)
+        weight = arr["weight"].astype(np.float64, copy=False) if "weight" in arr else None
+        etype = arr["etype"].astype(np.int64, copy=False) if "etype" in arr else None
+        ghost_hidx = ghost_dst = None
+        if want_ghost:
+            gm = arr["ghost"].astype(bool)
+            g_src, ghost_dst = src[gm], dst[gm]
+            ghost_hidx = np.searchsorted(np.asarray(hub_vids, dtype=np.int64), g_src)
+            keep = ~gm
+            src, dst = src[keep], dst[keep]
+            if weight is not None:
+                weight = weight[keep]
+            if etype is not None:
+                etype = etype[keep]
+        return src, dst, weight, etype, ghost_hidx, ghost_dst
 
     # ------------------------------------------------------------------ #
     # routing precomputes: for each target partition, the edge slice that

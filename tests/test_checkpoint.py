@@ -63,3 +63,36 @@ def test_graph_from_dataset_matches_from_arrays(ray_session):
     exp = pagerank_oracle(src, dst, v, iters=30, tol=0)
     assert np.allclose(r1, exp, atol=1e-12)
     assert g1.e_num == len(src)
+
+
+def test_graph_from_dataset_layout_and_sketch(ray_session, tmp_path):
+    """The distributed build: routed hive layout on disk (one dir per
+    partition, resumable artifact), sampled-quantile boundaries above
+    exact_degree_limit, and hub splitting — all value-identical to the
+    in-memory build."""
+    import os
+
+    v, e = 400, 6000
+    src, dst = random_edges(v, e, seed=23)
+    # add a hub so the split path has work
+    src = np.concatenate([src, np.full(300, 11, np.int64)])
+    dst = np.concatenate([dst, random_edges(v, 300, seed=24)[1]])
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)})).repartition(5)
+    exp = pagerank_oracle(src, dst, v, iters=20, tol=0)
+
+    layout = str(tmp_path / "layout")
+    with Graph.from_dataset(ds, num_parts=4, v_num=v, layout_dir=layout) as g:
+        assert np.allclose(pagerank(g, max_iters=20, tol=None), exp, atol=1e-12)
+        deg = g.out_degrees()
+    parts = sorted(d for d in os.listdir(layout) if d.startswith("part="))
+    assert len(parts) >= 2  # per-partition dirs actually written
+
+    # sketch boundaries: force the sampled-quantile path
+    with Graph.from_dataset(ds, num_parts=4, v_num=v, exact_degree_limit=1) as g:
+        assert np.array_equal(g.out_degrees(), deg)
+        assert np.allclose(pagerank(g, max_iters=20, tol=None), exp, atol=1e-12)
+
+    # hub splitting through the routed layout
+    with Graph.from_dataset(ds, num_parts=4, v_num=v, split_threshold=150) as g:
+        assert 11 in g.hub_vids
+        assert np.allclose(pagerank(g, max_iters=20, tol=None), exp, atol=1e-9)
