@@ -113,27 +113,74 @@ def map_edge_ids(
     """
     n = url_map.count()
     if n > broadcast_limit:
-        raise NotImplementedError(
-            "url dictionary > broadcast_limit: use the bucketed hash join "
-            "(kkray.relational.join.hash_join) — wired in a later milestone"
-        )
+        return _map_edge_ids_shuffle(links, url_map)
     map_tbl = pa.concat_tables(
         [t for t in ray.get(url_map.to_arrow_refs()) if t.num_rows > 0 or t.num_columns == 2]
         or [pa.table({"url": pa.array([], pa.string()), "vid": pa.array([], pa.uint64())})]
     )
-    lookup_ref = ray.put(dict(zip(map_tbl.column("url").to_pylist(), map_tbl.column("vid").to_numpy(zero_copy_only=False))))
+    # broadcast the dictionary as ARROW ARRAYS (zero-copy from plasma per
+    # node) and probe with the vectorized pc.index_in kernel — no python
+    # dict, no per-row loop
+    lookup_ref = ray.put(
+        (
+            map_tbl.column("url").combine_chunks(),
+            map_tbl.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64),
+        )
+    )
 
     class IdJoin:
         def __init__(self):
-            self.lut = ray.get(lookup_ref)
+            self.urls, self.vids = ray.get(lookup_ref)
+
+        def _probe(self, col) -> tuple[np.ndarray, np.ndarray]:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if len(self.vids) == 0:
+                return np.zeros(len(col), np.uint64), np.zeros(len(col), bool)
+            idx = pc.index_in(col, value_set=self.urls)
+            found = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+            # fill nulls BEFORE to_numpy (nulls would force a NaN float cast)
+            pos = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            vid = self.vids[pos]
+            return vid, found
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            src = np.array([self.lut.get(u, np.uint64(0xFFFFFFFFFFFFFFFF)) for u in t.column("src_url").to_pylist()], dtype=np.uint64)
-            dst = np.array([self.lut.get(u, np.uint64(0xFFFFFFFFFFFFFFFF)) for u in t.column("dst_url").to_pylist()], dtype=np.uint64)
-            keep = (src != np.uint64(0xFFFFFFFFFFFFFFFF)) & (dst != np.uint64(0xFFFFFFFFFFFFFFFF))
+            src, ok_s = self._probe(t.column("src_url"))
+            dst, ok_d = self._probe(t.column("dst_url"))
+            keep = ok_s & ok_d
             return pa.table({"src": pa.array(src[keep], pa.uint64()), "dst": pa.array(dst[keep], pa.uint64())})
 
     return links.map_batches(IdJoin, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _map_edge_ids_shuffle(
+    links: ray.data.Dataset, url_map: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """The >broadcast_limit path: two hash-partitioned ``Dataset.join``s
+    against the url dictionary (inner joins drop unmapped endpoints — same
+    semantics as the broadcast probe). Each join is one all-to-all on the
+    url key; at 10^12 urls this is the only shape that works.
+
+    num_partitions defaults to the cluster CPU count: the hash-shuffle
+    aggregator pool holds one actor per partition, and a partition count
+    far above the CPU count stalls small clusters (verified: 64 partitions
+    deadlock a 4-CPU session)."""
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def as_src_map(t: pa.Table) -> pa.Table:
+        return pa.table({"src_url": t.column("url"), "src": t.column("vid")})
+
+    def as_dst_map(t: pa.Table) -> pa.Table:
+        return pa.table({"dst_url": t.column("url"), "dst": t.column("vid")})
+
+    smap = url_map.map_batches(as_src_map, batch_format="pyarrow")
+    dmap = url_map.map_batches(as_dst_map, batch_format="pyarrow")
+    j1 = links.select_columns(["src_url", "dst_url"]).join(
+        smap, "inner", num_partitions=num_partitions, on=("src_url",)
+    )
+    j2 = j1.join(dmap, "inner", num_partitions=num_partitions, on=("dst_url",))
+    return j2.select_columns(["src", "dst"])
 
 
 def dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -160,11 +207,12 @@ def build_edge_table(
     restrict_to_crawled: bool = True,
     deduplicate: bool = True,
     undirected: bool = False,
+    broadcast_limit: int = 50_000_000,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """End-to-end pages -> (edges, url_map). The M0.5 pipeline."""
     links = links_from_pages(pages)
     url_map = build_url_map(links, pages if restrict_to_crawled else None)
-    edges = map_edge_ids(links, url_map)
+    edges = map_edge_ids(links, url_map, broadcast_limit=broadcast_limit)
     if deduplicate:
         edges = dedup_edges(edges)
     if undirected:

@@ -42,13 +42,20 @@ def consecutive_pairs(
     group: str,
     seq: str,
     value: str,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Self-join: (src=value[a], dst=value[b]) for every pair of rows in
     the same group with seq[b] == seq[a] + 1 (ALL matches, duplicates
     included — exact SQL `b.seq = a.seq + 1` semantics). Implemented as a
-    hash-partitioned Dataset.join on (group, seq)."""
+    hash-partitioned Dataset.join on (group, seq).
+
+    num_partitions defaults to the cluster CPU count — the join's
+    aggregator pool is one actor per partition, and far more partitions
+    than CPUs stalls small clusters."""
     import pyarrow.compute as pc
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
 
     def as_left(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -35,6 +35,19 @@ def test_build_edge_table_matches_oracle(ray_session):
     assert len(ep) == len(got)  # dedup removed duplicates
 
 
+def test_build_edge_table_shuffle_join_path(ray_session):
+    """Force broadcast_limit below the dictionary size so the hash-
+    partitioned Dataset.join path runs; it must match the broadcast-probe
+    path edge-for-edge."""
+    t, meta = synth_pages(150, seed=42)
+    edges, _ = build_edge_table(ray.data.from_arrow(t), broadcast_limit=10)
+    _, exp = _oracle(meta)
+    ep = edges.to_pandas()
+    got = set(zip(ep["src"].astype(int), ep["dst"].astype(int)))
+    assert got == exp
+    assert len(ep) == len(got)
+
+
 def test_undirect_adds_reverse_edges(ray_session):
     tbl = pa.table({"src": pa.array([0, 1, 2], pa.uint64()), "dst": pa.array([1, 2, 0], pa.uint64())})
     out = undirect(ray.data.from_arrow(tbl)).to_pandas()
