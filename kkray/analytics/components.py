@@ -24,8 +24,11 @@ def connected_components(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
-) -> np.ndarray:
-    """Returns label vector: label[v] = min vertex id of v's component."""
+    as_dataset: bool = False,
+):
+    """Returns label vector: label[v] = min vertex id of v's component.
+    With as_dataset=True, returns a streaming Dataset (vertex, label)
+    built from per-shard arrow refs instead of a driver-side array."""
     actors = graph.actors
     P = graph.num_parts
     start_iter = 0
@@ -55,4 +58,6 @@ def connected_components(
             )
         if total_changed == 0:
             break
+    if as_dataset:
+        return graph.vertex_dataset("cc_get", "label")
     return graph.gather_vertex_array("cc_get")

@@ -266,6 +266,13 @@ class Graph:
             out[lo : lo + len(arr)] = arr
         return out if out is not None else np.empty(0)
 
+    def vertex_dataset(self, getter: str, col: str = "value") -> ray.data.Dataset:
+        """Per-vertex results as a streaming Dataset (vertex, col): one
+        arrow-table ref per shard via from_arrow_refs — the scale path for
+        consuming rank/label vectors without a driver-side dense array."""
+        refs = [a.vertex_table.remote(getter, col) for a in self.actors]
+        return ray.data.from_arrow_refs(refs)
+
     def out_degrees(self) -> np.ndarray:
         return self.gather_vertex_array("deg_get")
 

@@ -227,6 +227,16 @@ class ShardCore(WalkMixin):
     def deg_get(self):
         return self.lo, self.outdeg
 
+    def vertex_table(self, getter: str, col: str = "value"):
+        """(vertex, value) arrow table for this shard's range — called via
+        .remote() the table stays in the object store so the driver can
+        build a Dataset with from_arrow_refs (no driver-side vector)."""
+        import pyarrow as pa
+
+        lo, arr = getattr(self, getter)()
+        ids = np.arange(lo, lo + len(arr), dtype=np.int64)
+        return pa.table({"vertex": pa.array(ids), col: pa.array(arr)})
+
     def localize_csr(self) -> bool:
         """Copy plasma-backed (zero-copy shared) CSR arrays into the
         actor's own heap. Shared mappings can be slower for random-access

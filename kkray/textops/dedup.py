@@ -21,6 +21,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -36,23 +37,36 @@ def _text_hash64(texts) -> np.ndarray:
     return out
 
 
+def _text_hash128(texts) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content hash as two uint64 columns — at the stated 10^12-doc
+    design scale, 64-bit birthday collisions are expected in the millions
+    and would silently merge distinct documents; 128 bits pushes the
+    expected collision count to ~0."""
+    h1 = np.empty(len(texts), dtype=np.uint64)
+    h2 = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        d = np.frombuffer(hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).digest(), dtype=np.uint64)
+        h1[i], h2[i] = d[0], d[1]
+    return h1, h2
+
+
 def exact_dedup(docs: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
     """First-wins (min id) exact dedup; returns (doc_id, dup_count) per
     surviving doc. Shuffle moves only (hash, id) pairs, pre-min-ed per batch."""
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
-        h = _text_hash64(df[text_col].tolist())
-        g = pd.DataFrame({"h": h.astype(np.uint64), id_col: df[id_col]})
-        agg = g.groupby("h", as_index=False).agg(doc_id=(id_col, "min"), dup_count=(id_col, "size"))
+        h1, h2 = _text_hash128(df[text_col].tolist())
+        g = pd.DataFrame({"h1": h1, "h2": h2, id_col: df[id_col]})
+        agg = g.groupby(["h1", "h2"], as_index=False).agg(doc_id=(id_col, "min"), dup_count=(id_col, "size"))
         return agg
 
     partial = docs.map_batches(local, batch_format="pandas")
     from ray.data.aggregate import Min, Sum
 
     return (
-        partial.groupby("h")
+        partial.groupby(["h1", "h2"])
         .aggregate(Min("doc_id", alias_name="doc_id"), Sum("dup_count", alias_name="dup_count"))
-        .drop_columns(["h"])
+        .drop_columns(["h1", "h2"])
     )
 
 
@@ -61,21 +75,6 @@ def _shingles(text: str, n: int) -> set:
     if len(toks) < n:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-
-
-def _minhash_sig(sh: set, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm minhash values via universal hashing over 64-bit shingle
-    hashes (one vectorized min per doc)."""
-    if not sh:
-        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    base = np.empty(len(sh), dtype=np.uint64)
-    for i, s in enumerate(sh):
-        base[i] = np.frombuffer(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), dtype=np.uint64)[0]
-    with np.errstate(over="ignore"):
-        # (a*x + b) mod p, p = 2^61-1; broadcast perms x shingles
-        x = base % MERSENNE
-        vals = (a[:, None] * x[None, :] + b[:, None]) % MERSENNE
-    return vals.min(axis=1).astype(np.uint64)
 
 
 class MinHasher:
@@ -146,54 +145,115 @@ def minhash_lsh_pairs(
     from ..ops import bucket_pairs
 
     cand = bucket_pairs(exploded, ["band", "band_hash"], "doc_id")
-    # verify: join texts (broadcast — candidate verification needs both
-    # texts; at >RAM scale this becomes two bucketed joins)
-    texts = {r["doc_id"]: r["text"] for r in docs.select_columns(["doc_id", "text"]).take_all()}
-    tref = ray.put(texts)
+    # verify: attach both texts with two hash-partitioned Dataset.joins
+    # (pair rows <- text table), then exact shingle Jaccard per candidate
+    # pair — no take_all broadcast of the corpus
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def as_a(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t.column("doc_id"), "text_a": t.column("text")})
+
+    def as_b(t: pa.Table) -> pa.Table:
+        return pa.table({"b": t.column("doc_id"), "text_b": t.column("text")})
+
+    texts = docs.select_columns(["doc_id", "text"])
+    with_a = cand.join(texts.map_batches(as_a, batch_format="pyarrow"), "inner", num_partitions=nparts, on=("a",))
+    with_b = with_a.join(texts.map_batches(as_b, batch_format="pyarrow"), "inner", num_partitions=nparts, on=("b",))
     n = shingle_n
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(tref)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(df), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(df["text_a"], df["text_b"])):
+            sa, sb = _shingles(ta or "", n), _shingles(tb or "", n)
+            u = len(sa | sb)
+            jac[i] = len(sa & sb) / u if u else 1.0
+        out = pd.DataFrame({"a": df["a"], "b": df["b"], "jaccard": jac})
+        return out[out["jaccard"] >= threshold]
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            jac = []
-            for a_, b_ in zip(df["a"], df["b"]):
-                sa, sb = _shingles(self.texts[a_] or "", n), _shingles(self.texts[b_] or "", n)
-                u = len(sa | sb)
-                jac.append(len(sa & sb) / u if u else 1.0)
-            df = df.copy()
-            df["jaccard"] = jac
-            return df
-
-    verified = cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
-    return verified.filter(lambda r: r["jaccard"] >= threshold)
+    return with_b.map_batches(verify, batch_format="pandas")
 
 
-def near_dedup(docs: ray.data.Dataset, pairs: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
+def near_dedup(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+    broadcast_limit: int = 50_000_000,
+) -> ray.data.Dataset:
     """Cluster verified duplicate pairs with the engine's own
     connected-components and keep the min doc id per cluster. Returns
-    (doc_id, keep) for every input doc."""
+    (doc_id, keep) for every input doc.
+
+    Fully distributed: pairs become a symmetric edge Dataset, the CC graph
+    is built via Graph.from_dataset (routed layout), labels come back as a
+    per-shard-ref Dataset, and the drop set (label != vertex) is broadcast
+    (<= broadcast_limit ids) or joined. Doc ids are used directly as vertex
+    ids, so they should be dense-ish integers (shard ranges cover
+    [0, max_id])."""
     from ..analytics import connected_components
     from ..graph import Graph
 
-    pdf = pairs.select_columns(["a", "b"]).to_pandas()
-    all_ids = docs.select_columns([id_col]).to_pandas()[id_col].to_numpy()
-    id_sorted = np.sort(all_ids)
-    remap = {int(x): i for i, x in enumerate(id_sorted)}
-    if len(pdf):
-        a = np.array([remap[int(x)] for x in pdf["a"]], dtype=np.int64)
-        b = np.array([remap[int(x)] for x in pdf["b"]], dtype=np.int64)
-        src = np.concatenate([a, b])
-        dst = np.concatenate([b, a])
-        with Graph.from_arrays(src, dst, num_parts=4, v_num=len(id_sorted)) as g:
-            labels = connected_components(g)
-    else:
-        labels = np.arange(len(id_sorted))
-    keep = labels == np.arange(len(id_sorted))
-    return ray.data.from_arrow(
-        pa.table({id_col: pa.array(id_sorted), "keep": pa.array(keep)})
-    )
+    if num_parts is None:
+        num_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4))))
+    if pairs.count() == 0:
+        return docs.map_batches(
+            lambda t: pa.table(
+                {id_col: t.column(id_col), "keep": pa.array(np.ones(t.num_rows, dtype=bool))}
+            ),
+            batch_format="pyarrow",
+        )
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").cast(pa.int64()).combine_chunks()
+        b = t.column("b").cast(pa.int64()).combine_chunks()
+        return pa.table({"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    max_id = int(docs.max(id_col))
+    with Graph.from_dataset(edges, num_parts=num_parts, v_num=max_id + 1) as g:
+        labels = connected_components(g, as_dataset=True)
+        # drop set: every vertex whose component label is not itself
+        drop_ds = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: pc.filter(
+                        t.column("vertex"), pc.not_equal(t.column("vertex"), t.column("label"))
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        n_drop = drop_ds.count()
+        if n_drop <= broadcast_limit:
+            chunks = [
+                t.column(id_col).to_numpy(zero_copy_only=False)
+                for t in ray.get(drop_ds.to_arrow_refs())
+                if t.num_rows
+            ]
+            drop_ids = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+            dref = ray.put(drop_ids)
+
+            def probe(t: pa.Table) -> pa.Table:
+                d = ray.get(dref)
+                ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+                pos = np.searchsorted(d, ids)
+                pos[pos >= len(d)] = 0
+                dropped = (d[pos] == ids) if len(d) else np.zeros(len(ids), dtype=bool)
+                return pa.table({id_col: t.column(id_col), "keep": pa.array(~dropped)})
+
+            return docs.select_columns([id_col]).map_batches(probe, batch_format="pyarrow")
+        # huge drop set: hash-partitioned left-outer join, keep = no match
+        marked = drop_ds.map_batches(
+            lambda t: t.append_column("_drop", pa.array(np.ones(t.num_rows, dtype=np.int8))),
+            batch_format="pyarrow",
+        )
+        joined = docs.select_columns([id_col]).join(
+            marked, "left_outer", num_partitions=num_parts, on=(id_col,)
+        )
+        return joined.map_batches(
+            lambda df: pd.DataFrame({id_col: df[id_col], "keep": df["_drop"].isna()}),
+            batch_format="pandas",
+        )
 
 
 class SimHasher:
@@ -262,8 +322,14 @@ def embedding_near_dup(
     buckets (sign pattern over n_planes), in-bucket brute cosine. Pairs on
     opposite sides of a plane can be missed (LSH recall<1) — n_planes
     trades recall for bucket size; n_planes=0 -> single bucket = exact."""
-    first = emb.take(1)[0]
-    dim = len(first[vec_col])
+    head = emb.take(1)
+    if not head:  # empty input -> empty pairs (don't IndexError)
+        return ray.data.from_arrow(
+            pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+            )
+        )
+    dim = len(head[0][vec_col])
     rng = np.random.Generator(np.random.Philox(seed))
     planes = rng.standard_normal((dim, n_planes)) if n_planes else None
     pref = ray.put(planes)

@@ -75,6 +75,48 @@ def test_minhash_and_near_dedup(ray_session):
     assert 3 in kept and 5 in kept and 7 in kept
 
 
+def test_minhash_pairs_vs_bruteforce_oracle(ray_session):
+    """Brute-force shingle Jaccard over the 500-doc fixture: every pair the
+    LSH emits must carry the exact true Jaccard (precision + values), and
+    every jaccard==1.0 pair must be found (identical signatures always
+    collide in every band)."""
+    from kkray.textops.dedup import _shingles
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pdf = minhash_lsh_pairs(docs, num_perm=64, bands=16, shingle_n=3, threshold=0.5).to_pandas()
+    rows = docs.to_pandas()
+    sh = {int(r.doc_id): _shingles(r.text or "", 3) for r in rows.itertuples()}
+
+    def jac(a, b):
+        u = len(sh[a] | sh[b])
+        return len(sh[a] & sh[b]) / u if u else 1.0
+
+    for a, b, j in zip(pdf["a"], pdf["b"], pdf["jaccard"]):
+        true_j = jac(int(a), int(b))
+        assert abs(true_j - j) < 1e-12
+        assert true_j >= 0.5
+    ids = sorted(sh)
+    exact = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if sh[a] == sh[b] and sh[a]
+    }
+    got = {(int(a), int(b)) for a, b in zip(pdf["a"], pdf["b"])}
+    assert exact <= got
+
+
+def test_near_dedup_join_fallback(ray_session):
+    """broadcast_limit=0 forces the left-outer-join keep-set path; it must
+    match the broadcast path exactly."""
+    ds, _ = _docs_with_dupes()
+    pairs = minhash_lsh_pairs(ds, num_perm=64, bands=32, shingle_n=2, threshold=0.5)
+    a = near_dedup(ds, pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = near_dedup(ds, pairs, broadcast_limit=0).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["keep"]) == list(b["keep"])
+
+
 def test_simhash_pairs(ray_session):
     ds, _ = _docs_with_dupes()
     out = simhash_pairs(ds, max_hamming=0).to_pandas()
