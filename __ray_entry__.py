@@ -337,7 +337,7 @@ def _q_doc_chars(sf_dir: str):
             {
                 "doc_id": df["doc_id"],
                 "n_chars": texts.str.len().astype("int64"),
-                "n_digits": texts.map(lambda t: sum(c.isdigit() for c in t)).astype("int64"),
+                "n_digits": texts.str.count(r"\d").astype("int64"),
             }
         )
 

@@ -17,7 +17,11 @@ import numpy as np
 import ray
 
 
-def triangle_count(graph) -> int:
+def triangle_count(graph, chunk_pairs: int = 1 << 22, max_inflight: int | None = None) -> int:
+    """Streamed wedge join: each shard enumerates its wedges in chunks of
+    at most ``chunk_pairs`` pair indices (bounded memory even on hub-heavy
+    shards), and probe counts are drained with a sliding ray.wait window so
+    wedge blocks are freed as soon as they're counted."""
     actors = graph.actors
     P = graph.num_parts
     deg = graph.out_degrees()  # undirected degree (graph built on expansion)
@@ -26,8 +30,28 @@ def triangle_count(graph) -> int:
     rank[order] = np.arange(graph.v_num)
     rank_ref = ray.put(rank)
     ray.get([a.tri_build.remote(rank_ref) for a in actors])
-    wedges = [a.tri_wedges.options(num_returns=P).remote() for a in actors]
-    counts = ray.get(
-        [actors[p].tri_count.remote(*[wedges[q][p] for q in range(P)]) for p in range(P)]
-    )
-    return int(sum(counts))
+    totals = ray.get([a.tri_total_pairs.remote() for a in actors])
+    if max_inflight is None:
+        max_inflight = 8 * P
+    total_tri = 0
+    inflight: list = []
+    # round-robin the shards so no single shard's chunk train serializes
+    cursors = [0] * P
+    while True:
+        progressed = False
+        for q in range(P):
+            if cursors[q] >= totals[q]:
+                continue
+            lo = cursors[q]
+            hi = min(lo + chunk_pairs, totals[q])
+            cursors[q] = hi
+            w = actors[q].tri_wedges_chunk.options(num_returns=P).remote(lo, hi)
+            inflight.extend(actors[p].tri_count.remote(w[p]) for p in range(P))
+            progressed = True
+            while len(inflight) > max_inflight:
+                done, inflight = ray.wait(inflight, num_returns=len(inflight) - max_inflight)
+                total_tri += int(sum(ray.get(done)))
+        if not progressed:
+            break
+    total_tri += int(sum(ray.get(inflight)))
+    return total_tri

@@ -486,21 +486,29 @@ class ShardCore(WalkMixin):
         self._tri_comp = comp  # already sorted (src-major, rank-minor)
         return int(len(o_dst))
 
-    def tri_wedges(self):
-        """Enumerate oriented wedges (v,w) per local u; bucket queries by
-        part(v). Returns P (v_global, w_rank) pair-arrays."""
-        deg = self._tri_deg
+    def tri_total_pairs(self) -> int:
+        """Total oriented wedge count on this shard; also precomputes the
+        cumulative per-vertex pair offsets used by tri_wedges_chunk."""
+        npairs = (self._tri_deg * (self._tri_deg - 1)) // 2
+        self._tri_cum = np.concatenate([[0], np.cumsum(npairs)]).astype(np.int64)
+        return int(self._tri_cum[-1])
+
+    def tri_wedges_chunk(self, lo: int, hi: int):
+        """Enumerate oriented wedges for GLOBAL pair indices [lo, hi) only
+        (streamed chunks — a hub-heavy shard never materializes all its
+        O(Σdeg²) wedges at once); bucket queries by part(v). Returns P
+        (v_global, w_rank) pair-arrays.
+
+        Pair index r within a vertex is inverted to the adjacency pair
+        (i, j) with the triangular-number formula (float sqrt + integer
+        correction) — no python loop over vertices."""
         adj = self._tri_adj
         indptr = self._tri_indptr
-        npairs = (deg * (deg - 1)) // 2
-        total = int(npairs.sum())
-        # fully vectorized pair expansion: per-pair local index r inverted
-        # to (i,j) with the triangular-number formula (float sqrt + integer
-        # correction) — no python loop over vertices
-        if total:
-            u_rep = np.repeat(np.arange(len(deg), dtype=np.int64), npairs)
-            offs = np.concatenate([[0], np.cumsum(npairs)[:-1]])
-            r = np.arange(total, dtype=np.int64) - np.repeat(offs, npairs)
+        cum = self._tri_cum
+        if hi > lo:
+            r_glob = np.arange(lo, hi, dtype=np.int64)
+            u_rep = np.searchsorted(cum, r_glob, side="right") - 1
+            r = r_glob - cum[u_rep]
             j = ((1.0 + np.sqrt(1.0 + 8.0 * r.astype(np.float64))) // 2).astype(np.int64)
             j = np.where(j * (j - 1) // 2 > r, j - 1, j)
             j = np.where((j + 1) * j // 2 <= r, j + 1, j)

@@ -317,14 +317,46 @@ class WalkMixin:
         RETRY = 16
         acc_rows: list[tuple] = []
         park_rows: list[tuple] = []
+        # outlier-appendix mode (reference node2vec.hpp:47-106 +
+        # walk.hpp:981-1014): when 1/p exceeds ub2 = max(1, 1/q), don't
+        # fold 1/p into the rejection bound — give the single return edge
+        # an appendix area of (1/p - ub2) beside the regular deg*ub2 area.
+        # A dart in the appendix proposes the return edge directly (accept
+        # iff cur->prev exists locally — the adjacency being sampled is
+        # local, so this needs no remote query); a regular dart yields
+        # (candidate idx, height) from ONE draw: idx = r // ub2,
+        # height = r mod ub2. Cuts the rejection rate by up to
+        # 1/p / max(1,1/q) on return-biased walks (paper Table 5b: 2.4x).
+        inv_p, inv_q = 1.0 / spec["p"], 1.0 / spec["q"]
+        ub2 = max(1.0, inv_q)
+        overflow = inv_p - ub2
+        use_app = (not spec.get("weighted")) and overflow > 0
         rnd = 0
         while n and rnd < RETRY:
             rng = rng_for(self._wseed, self.part_id + self.seed, superstep, rnd + 1)
             cur_local = cur - self.lo
-            pos = self._sample(cur_local, rng)
-            cand = self.csr.indices[pos]
-            dart = rng.random(n) * self._n2v_ub()
-            accept, resolved = self._n2v_resolve(prev, cand, dart)
+            if use_app:
+                degf = self.outdeg[cur_local].astype(np.float64)
+                ovf = np.where(prev >= 0, overflow, 0.0)  # no return edge at step 0
+                r = rng.random(n) * (degf * ub2 + ovf)
+                in_app = r >= degf * ub2
+                idx = np.minimum((r / ub2).astype(np.int64), self.outdeg[cur_local] - 1)
+                pos = self.csr.indptr[cur_local] + idx
+                cand = self.csr.indices[pos]
+                dart = r - idx * ub2
+                accept, resolved = self._n2v_resolve(prev, cand, dart)
+                if in_app.any():
+                    # appendix: candidate IS the return edge; residual dart
+                    # lands in [ub2, 1/p) < dyn(return)=1/p, so accept iff
+                    # the edge cur->prev actually exists
+                    cand[in_app] = prev[in_app]
+                    accept[in_app] = self.csr.contains_edges(cur_local[in_app], prev[in_app])
+                    resolved[in_app] = True
+            else:
+                pos = self._sample(cur_local, rng)
+                cand = self.csr.indices[pos]
+                dart = rng.random(n) * self._n2v_ub()
+                accept, resolved = self._n2v_resolve(prev, cand, dart)
             a = accept & resolved
             if a.any():
                 acc_rows.append((wid[a], step[a], cur[a], prev[a], cand[a]))

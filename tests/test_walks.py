@@ -103,10 +103,16 @@ def test_ppr_termination_geometry(ray_session):
     assert abs(ge2 / ge1 - (1 - tp)) < 0.03
 
 
-def test_node2vec_second_order_matrix(ray_session):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("p_,q_", [(0.5, 2.0), (0.25, 4.0)])
+def test_node2vec_second_order_matrix(ray_session, p_, q_):
+    """Both cases have 1/p > max(1, 1/q), exercising the outlier-appendix
+    sampling path (reference node2vec.hpp:47-106); the sampled distribution
+    must match the exact second-order transition matrix either way."""
     v, e = 18, 60
     src, dst = random_edges(v, e, seed=31, undirected=True)
-    p_, q_ = 0.5, 2.0
     nbrs = [set() for _ in range(v)]
     for a, b in zip(src, dst):
         nbrs[a].add(b)
