@@ -49,6 +49,35 @@ class CheckpointManager:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(d, "MANIFEST.json"))  # atomic commit
 
+    def save_tables(self, it: int, parts: list[dict], metrics: dict, lineage: dict | None = None):
+        """Multi-table per-partition checkpoint (walk state): parts[p] is a
+        dict name -> pa.Table; each table lands in its own parquet file and
+        MANIFEST.json is the atomic commit record, as in save()."""
+        d = self._iter_dir(it)
+        os.makedirs(d, exist_ok=True)
+        part_meta = []
+        for p, tabs in enumerate(parts):
+            files = {}
+            for name, tbl in tabs.items():
+                fn = "part=%05d.%s.parquet" % (p, name)
+                pq.write_table(tbl, os.path.join(d, fn))
+                files[name] = fn
+            part_meta.append({"part": p, "files": files})
+        manifest = {"iter": it, "kind": "tables", "parts": part_meta, "metrics": metrics, "lineage": lineage or {}}
+        tmp = os.path.join(d, ".MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(d, "MANIFEST.json"))
+
+    def load_tables(self, it: int) -> tuple[list[dict], dict]:
+        d = self._iter_dir(it)
+        with open(os.path.join(d, "MANIFEST.json")) as f:
+            manifest = json.load(f)
+        parts = []
+        for pm in manifest["parts"]:
+            parts.append({name: pq.read_table(os.path.join(d, fn)) for name, fn in pm["files"].items()})
+        return parts, manifest
+
     def latest_complete(self) -> int | None:
         """Highest iter whose MANIFEST.json exists, or None."""
         best = None

@@ -129,6 +129,55 @@ class WalkMixin:
         self._frontier = {}
         return _concat(batches)
 
+    def walk_ingest(self, *incoming) -> int:
+        """Merge in-flight walker batches into the frontier WITHOUT
+        stepping — the pre-checkpoint quiesce: after this, the shard's
+        full walk state is (frontier, footprints, finals, nsteps), with
+        nothing in flight. Preserves frontier-first concatenation order so
+        a resumed run replays the keyed RNG streams bit-identically."""
+        W = self._take_frontier(incoming)
+        self._frontier = W if W else {}
+        return int(len(self._frontier.get("wid", ())))
+
+    def walk_ckpt_dump(self):
+        """Serializable walk state: (frontier table, footprint table,
+        finals table, nsteps). Called at a superstep boundary (parked must
+        be drained)."""
+        import pyarrow as pa
+
+        assert self._parked is None, "checkpoint only at superstep boundaries"
+        fr = self._frontier if self._frontier else {}
+        fr_tbl = pa.table({k: pa.array(np.asarray(v)) for k, v in fr.items()})
+        w, s, v = self.walk_footprints()
+        fp_tbl = pa.table({"wid": pa.array(w), "step": pa.array(s), "vertex": pa.array(v)})
+        fw, fs, fstate = self.walk_final_states()
+        fin_tbl = pa.table({"wid": pa.array(fw), "step": pa.array(fs), "wstate": pa.array(fstate)})
+        return {"frontier": fr_tbl, "footprints": fp_tbl, "finals": fin_tbl}, self._nsteps
+
+    def walk_ckpt_restore(self, tables: dict, nsteps: int) -> bool:
+        fr = tables["frontier"]
+        if fr.num_rows or fr.num_columns:
+            self._frontier = {
+                name: fr.column(name).to_numpy(zero_copy_only=False).copy() for name in fr.column_names
+            }
+        else:
+            self._frontier = {}
+        fp = tables["footprints"]
+        self._fp = (
+            [tuple(fp.column(c).to_numpy(zero_copy_only=False).copy() for c in ("wid", "step", "vertex"))]
+            if fp.num_rows
+            else []
+        )
+        fin = tables["finals"]
+        self._final = (
+            [tuple(fin.column(c).to_numpy(zero_copy_only=False).copy() for c in ("wid", "step", "wstate"))]
+            if fin.num_rows
+            else []
+        )
+        self._nsteps = int(nsteps)
+        self._parked = None
+        return True
+
     def _sample(self, cur_local: np.ndarray, rng) -> np.ndarray:
         """Candidate CSR positions ~ static component."""
         deg = self.outdeg[cur_local]

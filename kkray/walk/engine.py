@@ -72,6 +72,10 @@ def random_walk(
     return_dataset: bool = False,
     walk_rate: float | None = None,
     output_dir: str | None = None,
+    checkpoint=None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+    max_supersteps: int = MAX_SUPERSTEPS,
 ):
     """Run a walk; returns assembled paths (see assemble_paths) or the raw
     footprints Dataset. Stateless wrt the graph: multiple walks can run on
@@ -123,29 +127,44 @@ def random_walk(
     ray.get([a.walk_begin.remote(spec, seed, collect_paths) for a in actors])
     if getattr(graph, "replicated", False):
         return _run_replicated(graph, wspec, spec, seed, return_dataset)
-    seeds = _init_walkers(graph, wspec, seed)
-    if spec["kind"] == "node2vec":
-        for s in seeds:
-            s["prev"] = np.full(len(s["wid"]), -1, dtype=np.int64)
-    elif spec["kind"] == "metapath":
-        n_schemes = len(spec["schemes"])
-        for s in seeds:
-            # scheme assignment: deliberate deterministic DEVIATION from the
-            # reference (metapath.hpp:88-94 draws the scheme uniformly at
-            # random per walker); wid round-robin keeps replay/resume exact
-            # at the cost of a slightly skewed scheme distribution when
-            # walker_num % n_schemes != 0
-            s["scheme"] = s["wid"] % n_schemes
-            s["mstate"] = np.zeros(len(s["wid"]), dtype=np.int64)
-    elif spec["kind"] == "custom":
-        for s in seeds:
-            _add_custom_cols(s, spec)
-    ray.get([a.walk_seed.remote(s) for a, s in zip(actors, seeds)])
+    start_ss = 0
+    if resume and checkpoint is not None and (last := checkpoint.latest_complete()) is not None:
+        # resume mid-walk: restore (frontier, footprints, finals, nsteps)
+        # per shard and continue at the saved superstep counter — the keyed
+        # Philox streams make the continuation bit-identical to the
+        # uninterrupted run
+        parts, man = checkpoint.load_tables(last)
+        ray.get(
+            [
+                a.walk_ckpt_restore.remote(t, n)
+                for a, t, n in zip(actors, parts, man["metrics"]["nsteps"])
+            ]
+        )
+        start_ss = int(man["lineage"]["next_superstep"])
+    else:
+        seeds = _init_walkers(graph, wspec, seed)
+        if spec["kind"] == "node2vec":
+            for s in seeds:
+                s["prev"] = np.full(len(s["wid"]), -1, dtype=np.int64)
+        elif spec["kind"] == "metapath":
+            n_schemes = len(spec["schemes"])
+            for s in seeds:
+                # scheme assignment: deliberate deterministic DEVIATION from
+                # the reference (metapath.hpp:88-94 draws the scheme
+                # uniformly at random per walker); wid round-robin keeps
+                # replay/resume exact at the cost of a slightly skewed
+                # scheme distribution when walker_num % n_schemes != 0
+                s["scheme"] = s["wid"] % n_schemes
+                s["mstate"] = np.zeros(len(s["wid"]), dtype=np.int64)
+        elif spec["kind"] == "custom":
+            for s in seeds:
+                _add_custom_cols(s, spec)
+        ray.get([a.walk_seed.remote(s) for a, s in zip(actors, seeds)])
 
     if spec["kind"] == "node2vec":
-        _drive_second_order(actors, P)
+        _drive_second_order(actors, P, checkpoint, checkpoint_every, start_ss, max_supersteps)
     else:
-        _drive_first_order(actors, P)
+        _drive_first_order(actors, P, checkpoint, checkpoint_every, start_ss, max_supersteps)
 
     # footprints stay in the object store: one arrow-table ref per shard,
     # never concatenated on the driver (reference path.hpp:164-250 shuffle)
@@ -196,10 +215,24 @@ def _run_replicated(graph, wspec: WalkerSpec, spec: dict, seed: int, return_data
     return ds if return_dataset else assemble_paths(ds)
 
 
-def _drive_first_order(actors, P):
-    superstep = 0
+def _ckpt_walk(actors, checkpoint, incoming, P, next_superstep):
+    """Quiesce (deliver in-flight batches into frontiers) + dump + commit.
+    Returns the cleared incoming lists."""
+    ray.get([a.walk_ingest.remote(*incoming[p]) for p, a in enumerate(actors)])
+    dumps = ray.get([a.walk_ckpt_dump.remote() for a in actors])
+    checkpoint.save_tables(
+        next_superstep,
+        [d[0] for d in dumps],
+        metrics={"nsteps": [int(d[1]) for d in dumps]},
+        lineage={"op": "walk", "next_superstep": int(next_superstep), "num_parts": P},
+    )
+    return [[] for _ in range(P)]
+
+
+def _drive_first_order(actors, P, checkpoint=None, checkpoint_every=5, start_ss=0, max_supersteps=MAX_SUPERSTEPS):
+    superstep = start_ss
     incoming: list[list] = [[] for _ in range(P)]
-    while superstep < MAX_SUPERSTEPS:
+    while superstep < max_supersteps:
         refs = [
             a.walk_step.options(num_returns=P + 1).remote(superstep, *incoming[p])
             for p, a in enumerate(actors)
@@ -207,14 +240,16 @@ def _drive_first_order(actors, P):
         moved = sum(ray.get([r[P] for r in refs]))
         incoming = [[refs[q][p] for q in range(P)] for p in range(P)]
         superstep += 1
+        if checkpoint is not None and moved and superstep % checkpoint_every == 0:
+            incoming = _ckpt_walk(actors, checkpoint, incoming, P, superstep)
         if moved == 0:
             break
 
 
-def _drive_second_order(actors, P):
-    superstep = 0
+def _drive_second_order(actors, P, checkpoint=None, checkpoint_every=5, start_ss=0, max_supersteps=MAX_SUPERSTEPS):
+    superstep = start_ss
     incoming: list[list] = [[] for _ in range(P)]
-    while superstep < MAX_SUPERSTEPS:
+    while superstep < max_supersteps:
         ra = [
             a.n2v_stepA.options(num_returns=2 * P + 1).remote(superstep, *incoming[p])
             for p, a in enumerate(actors)
@@ -240,6 +275,8 @@ def _drive_second_order(actors, P):
             + sum(c["moved"] + c["local"] for c in counts_b)
         )
         superstep += 1
+        if checkpoint is not None and active and superstep % checkpoint_every == 0:
+            incoming = _ckpt_walk(actors, checkpoint, incoming, P, superstep)
         if active == 0:
             break
 

@@ -65,6 +65,55 @@ def test_graph_from_dataset_matches_from_arrays(ray_session):
     assert g1.e_num == len(src)
 
 
+def _paths_df(out):
+    df = out.to_pandas().sort_values("walker_id").reset_index(drop=True)
+    df["path"] = df["path"].map(list)
+    return df
+
+
+def test_walk_checkpoint_resume_first_order(ray_session, tmp_path):
+    """Kill-and-resume mid-walk reproduces the uninterrupted run
+    bit-identically (frontier+footprint checkpoint, north_rule)."""
+    from kkray.ckpt import CheckpointManager
+    from kkray.walk.engine import random_walk
+    from kkray.walk.spec import TransitionSpec, WalkerSpec
+
+    v = 60
+    src, dst = random_edges(v, 400, seed=9, undirected=True)
+    ws = WalkerSpec(120, "equal")
+    ts = TransitionSpec(kind="truncated", length=12)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        full = _paths_df(random_walk(g, ws, ts, seed=5))
+    ck = CheckpointManager(str(tmp_path), "walk")
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        random_walk(g, ws, ts, seed=5, checkpoint=ck, checkpoint_every=1, max_supersteps=2)
+    assert ck.latest_complete() is not None
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        resumed = _paths_df(random_walk(g, ws, ts, seed=5, checkpoint=ck, resume=True))
+    assert list(full["walker_id"]) == list(resumed["walker_id"])
+    assert all(a == b for a, b in zip(full["path"], resumed["path"]))
+
+
+def test_walk_checkpoint_resume_node2vec(ray_session, tmp_path):
+    from kkray.ckpt import CheckpointManager
+    from kkray.walk.engine import random_walk
+    from kkray.walk.spec import Node2vecSpec, WalkerSpec
+
+    v = 40
+    src, dst = random_edges(v, 300, seed=11, undirected=True)
+    ws = WalkerSpec(80, "equal")
+    ts = Node2vecSpec(p=0.5, q=2.0, length=10)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        full = _paths_df(random_walk(g, ws, ts, seed=6))
+    ck = CheckpointManager(str(tmp_path), "n2v")
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        random_walk(g, ws, ts, seed=6, checkpoint=ck, checkpoint_every=2, max_supersteps=4)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        resumed = _paths_df(random_walk(g, ws, ts, seed=6, checkpoint=ck, resume=True))
+    assert list(full["walker_id"]) == list(resumed["walker_id"])
+    assert all(a == b for a, b in zip(full["path"], resumed["path"]))
+
+
 def test_graph_from_dataset_layout_and_sketch(ray_session, tmp_path):
     """The distributed build: routed hive layout on disk (one dir per
     partition, resumable artifact), sampled-quantile boundaries above
