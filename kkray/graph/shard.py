@@ -142,19 +142,24 @@ class ShardCore(WalkMixin):
     # ------------------------------------------------------------------ #
     def _build_routing(self):
         dst = self.csr.indices
-        src_idx = np.repeat(np.arange(self.csr.size, dtype=np.int64), self.outdeg)
+        # local indices are int32 (half the DRAM traffic of the per-edge
+        # gathers/scatters in the iterative sweeps); a single shard holding
+        # >2^31 vertices or edges is out of scope by partitioning
+        if self.csr.size >= (1 << 31) or len(dst) >= (1 << 31):
+            raise ValueError("shard too large for int32 local indices — raise num_parts")
+        src_idx = np.repeat(np.arange(self.csr.size, dtype=np.int32), self.outdeg)
         dpart = part_of(dst, self.boundaries)
         order = np.argsort(dpart, kind="stable")
         self._route_bounds = np.searchsorted(dpart[order], np.arange(self.num_parts + 1))
         # within each part slice, sort edges by destination for reduceat
-        self._r_dst_local = np.empty(len(dst), dtype=np.int64)
-        self._r_src_idx = np.empty(len(dst), dtype=np.int64)
+        self._r_dst_local = np.empty(len(dst), dtype=np.int32)
+        self._r_src_idx = np.empty(len(dst), dtype=np.int32)
         self._seg_starts: list[np.ndarray] = []
         self._seg_dsts: list[np.ndarray] = []
         for p in range(self.num_parts):
             s, e = self._route_bounds[p], self._route_bounds[p + 1]
             sl = order[s:e]
-            d_loc = dst[sl] - self.boundaries[p]
+            d_loc = (dst[sl] - self.boundaries[p]).astype(np.int32)
             o2 = np.argsort(d_loc, kind="stable")
             sl = sl[o2]
             d_loc = d_loc[o2]
@@ -165,7 +170,7 @@ class ShardCore(WalkMixin):
             else:
                 starts = np.empty(0, dtype=np.int64)
             self._seg_starts.append(starts.astype(np.int64))
-            self._seg_dsts.append(d_loc[starts] if e > s else np.empty(0, dtype=np.int64))
+            self._seg_dsts.append(d_loc[starts] if e > s else np.empty(0, dtype=np.int32))
 
     def _build_ghost_routing(self):
         """Per-target-partition routing for this shard's ghost (split-hub)
@@ -272,34 +277,44 @@ class ShardCore(WalkMixin):
         return float(np.asarray(fn(vids, self.outdeg_full)).sum())
 
     # ------------------------- PageRank ------------------------------- #
-    def pr_init(self, value: float | None = None):
-        self.rank = np.full(self.csr.size, (1.0 / self.v_num) if value is None else value, dtype=np.float64)
+    def pr_init(self, value: float | None = None, dtype: str = "float64"):
+        self._pr_dtype = np.dtype(dtype)
+        self.rank = np.full(
+            self.csr.size, (1.0 / self.v_num) if value is None else value, dtype=self._pr_dtype
+        )
 
     def pr_scatter(self, hub_contrib: np.ndarray | None = None):
         """Returns P dense partial-sum arrays (one per target partition) +
-        the local dangling-rank scalar. Sender-side combining: each edge's
-        contribution rank(src)/outdeg(src) is bincount-folded into the
-        target's dense vector here, so the exchange moves O(V) not O(E).
+        the local dangling-rank scalar. Sender-side combining: the edge
+        slice for each target is pre-sorted by destination, so the fold is
+        a sequential ``np.add.reduceat`` over segments + one compact
+        scatter into the unique destinations — cache-friendly, unlike a
+        bincount random-scatter over the whole target range. The exchange
+        moves O(V) not O(E), in the rank dtype (float32 halves traffic).
 
         hub_contrib: per-split-hub rank/deg values (driver-assembled from
         hub_values) — this shard folds its ghost edge slice in too."""
-        contrib = np.where(self.outdeg_full > 0, self.rank / np.maximum(self.outdeg_full, 1), 0.0)
+        dt = getattr(self, "_pr_dtype", np.float64)
+        contrib = np.where(self.outdeg_full > 0, self.rank / np.maximum(self.outdeg_full, 1), 0.0).astype(
+            dt, copy=False
+        )
         per_edge = contrib[self._r_src_idx]
         out = []
         for p in range(self.num_parts):
             s, e = self._route_bounds[p], self._route_bounds[p + 1]
-            acc = np.bincount(self._r_dst_local[s:e], weights=per_edge[s:e], minlength=self.part_size(p)).astype(
-                np.float64, copy=False
-            )
+            acc = np.zeros(self.part_size(p), dtype=dt)
+            starts = self._seg_starts[p]
+            if e > s and len(starts):
+                acc[self._seg_dsts[p]] = np.add.reduceat(per_edge[s:e], starts)
             gs, ge = self._g_route_bounds[p], self._g_route_bounds[p + 1]
             if ge > gs and hub_contrib is not None:
                 acc += np.bincount(
                     self._g_dst_local[gs:ge],
                     weights=hub_contrib[self._g_hidx[gs:ge]],
                     minlength=self.part_size(p),
-                )
+                ).astype(dt, copy=False)
             out.append(acc)
-        dangling = float(self.rank[self.outdeg_full == 0].sum())
+        dangling = float(self.rank[self.outdeg_full == 0].sum(dtype=np.float64))
         return (*out, dangling)
 
     def pr_gather(self, damping: float, *args) -> float:
@@ -307,14 +322,16 @@ class ShardCore(WalkMixin):
         args = P per-sender dangling scalars followed by P partial arrays
         (refs passed straight from pr_scatter — the dangling Allreduce
         happens here instead of on the driver, saving one barrier per
-        superstep)."""
+        superstep). Accumulation is float64 regardless of rank dtype."""
         P = self.num_parts
         dangling_total = float(sum(args[:P]))
         acc = np.zeros(self.csr.size, dtype=np.float64)
         for part in args[P:]:
             acc += part
         new = (1.0 - damping) / self.v_num + damping * (acc + dangling_total / self.v_num)
-        delta = float(np.abs(new - self.rank).sum())
+        dt = getattr(self, "_pr_dtype", np.float64)
+        new = new.astype(dt, copy=False)
+        delta = float(np.abs(new.astype(np.float64) - self.rank.astype(np.float64)).sum())
         self.rank = new
         return delta
 
@@ -326,7 +343,8 @@ class ShardCore(WalkMixin):
         zero-copy; on a multi-node cluster per-pair objects move less data,
         so this is the single-node/same-node-group exchange)."""
         parts = self.pr_scatter(hub_contrib)
-        return np.concatenate([*parts[: self.num_parts], [parts[self.num_parts]]])
+        dt = getattr(self, "_pr_dtype", np.float64)
+        return np.concatenate([*parts[: self.num_parts], np.array([parts[self.num_parts]], dtype=dt)])
 
     def pr_gather_packed(self, damping: float, *sender_arrays) -> float:
         """Gather from packed sender arrays: slice own range + dangling tail."""
@@ -335,9 +353,11 @@ class ShardCore(WalkMixin):
         dangling_total = 0.0
         for arr in sender_arrays:
             acc += arr[off : off + self.csr.size]
-            dangling_total += arr[-1]
+            dangling_total += float(arr[-1])
         new = (1.0 - damping) / self.v_num + damping * (acc + dangling_total / self.v_num)
-        delta = float(np.abs(new - self.rank).sum())
+        dt = getattr(self, "_pr_dtype", np.float64)
+        new = new.astype(dt, copy=False)
+        delta = float(np.abs(new.astype(np.float64) - self.rank.astype(np.float64)).sum())
         self.rank = new
         return delta
 

@@ -212,7 +212,8 @@ def _run_replicated(graph, wspec: WalkerSpec, spec: dict, seed: int, return_data
         ray.get([a.walk_step.remote(0) for a in actors])
     refs = [a.walk_footprints_table.remote() for a in actors]
     ds = ray.data.from_arrow_refs(refs)
-    return ds if return_dataset else assemble_paths(ds)
+    # pool workers partition walkers by id: every block is walker-complete
+    return ds if return_dataset else assemble_paths(ds, colocated=True)
 
 
 def _ckpt_walk(actors, checkpoint, incoming, P, next_superstep):
@@ -281,7 +282,9 @@ def _drive_second_order(actors, P, checkpoint=None, checkpoint_every=5, start_ss
             break
 
 
-def assemble_paths(footprints: ray.data.Dataset, num_shards: int = 64) -> ray.data.Dataset:
+def assemble_paths(
+    footprints: ray.data.Dataset, num_shards: int = 64, colocated: bool = False
+) -> ray.data.Dataset:
     """footprints(walker_id, step, vertex) -> paths(walker_id, length,
     path list<int64>).
 
@@ -289,7 +292,11 @@ def assemble_paths(footprints: ray.data.Dataset, num_shards: int = 64) -> ray.da
     bucket sort, path.hpp:338-391): hash walker ids into coarse shards so
     every step of a walker co-locates, then ONE lexsort + run-detect per
     shard builds all paths as a zero-copy arrow list column — no per-walker
-    Python call, no driver materialization."""
+    Python call, no driver materialization.
+
+    colocated=True: every block already holds ALL steps of its walkers
+    (true for the replicated WalkerPool, whose workers partition walkers by
+    id) — skip the shuffle entirely and assemble each block in place."""
 
     def add_shard(t: pa.Table) -> pa.Table:
         w = t.column("walker_id").to_numpy(zero_copy_only=False)
@@ -318,6 +325,8 @@ def assemble_paths(footprints: ray.data.Dataset, num_shards: int = 64) -> ray.da
         path = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(v, pa.int64()))
         return pa.table({"walker_id": pa.array(wids), "length": pa.array(lengths), "path": path})
 
+    if colocated:
+        return footprints.map_batches(per_shard, batch_format="pyarrow", batch_size=None)
     return (
         footprints.map_batches(add_shard, batch_format="pyarrow")
         .groupby("_shard")
