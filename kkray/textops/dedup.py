@@ -137,17 +137,55 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    verify_broadcast_limit: int = 200_000,
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs via MinHash banding, verified with exact
     n-gram Jaccard (pair-level recheck against the real shingle sets).
-    Returns (a, b, jaccard) with a < b, jaccard >= threshold."""
+    Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+
+    Verification attaches both texts to each candidate pair: when the
+    corpus is small (<= verify_broadcast_limit docs) the text table is
+    ray.put once and probed per batch (small-side broadcast — the cheap
+    correct pattern); above the limit it switches to two hash-partitioned
+    Dataset.joins (the >RAM path, no driver materialization)."""
     exploded = docs.map_batches(MinHasher(num_perm, bands, shingle_n, seed), batch_format="pandas", concurrency=8)
     from ..ops import bucket_pairs
 
     cand = bucket_pairs(exploded, ["band", "band_hash"], "doc_id")
-    # verify: attach both texts with two hash-partitioned Dataset.joins
-    # (pair rows <- text table), then exact shingle Jaccard per candidate
-    # pair — no take_all broadcast of the corpus
+    n = shingle_n
+
+    def jaccard_rows(a_ids, b_ids, text_a, text_b) -> pd.DataFrame:
+        jac = np.empty(len(a_ids), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(text_a, text_b)):
+            sa, sb = _shingles(ta or "", n), _shingles(tb or "", n)
+            u = len(sa | sb)
+            jac[i] = len(sa & sb) / u if u else 1.0
+        out = pd.DataFrame({"a": a_ids, "b": b_ids, "jaccard": jac})
+        return out[out["jaccard"] >= threshold]
+
+    n_docs = docs.count()
+    if n_docs <= verify_broadcast_limit:
+        tref = ray.put(
+            {
+                int(i): t
+                for tbl in ray.get(docs.select_columns(["doc_id", "text"]).to_arrow_refs())
+                for i, t in zip(
+                    tbl.column("doc_id").to_numpy(zero_copy_only=False), tbl.column("text").to_pylist()
+                )
+            }
+        )
+
+        class Verify:
+            def __init__(self):
+                self.texts = ray.get(tref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                ta = [self.texts.get(int(x), "") for x in df["a"]]
+                tb = [self.texts.get(int(x), "") for x in df["b"]]
+                return jaccard_rows(df["a"].to_numpy(), df["b"].to_numpy(), ta, tb)
+
+        return cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+
     nparts = max(2, int(ray.cluster_resources().get("CPU", 4)))
 
     def as_a(t: pa.Table) -> pa.Table:
@@ -159,16 +197,9 @@ def minhash_lsh_pairs(
     texts = docs.select_columns(["doc_id", "text"])
     with_a = cand.join(texts.map_batches(as_a, batch_format="pyarrow"), "inner", num_partitions=nparts, on=("a",))
     with_b = with_a.join(texts.map_batches(as_b, batch_format="pyarrow"), "inner", num_partitions=nparts, on=("b",))
-    n = shingle_n
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        jac = np.empty(len(df), dtype=np.float64)
-        for i, (ta, tb) in enumerate(zip(df["text_a"], df["text_b"])):
-            sa, sb = _shingles(ta or "", n), _shingles(tb or "", n)
-            u = len(sa | sb)
-            jac[i] = len(sa & sb) / u if u else 1.0
-        out = pd.DataFrame({"a": df["a"], "b": df["b"], "jaccard": jac})
-        return out[out["jaccard"] >= threshold]
+        return jaccard_rows(df["a"].to_numpy(), df["b"].to_numpy(), df["text_a"], df["text_b"])
 
     return with_b.map_batches(verify, batch_format="pandas")
 

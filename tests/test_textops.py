@@ -106,6 +106,21 @@ def test_minhash_pairs_vs_bruteforce_oracle(ray_session):
     assert exact <= got
 
 
+def test_minhash_verify_join_fallback(ray_session):
+    """verify_broadcast_limit=0 forces the Dataset.join verification; it
+    must emit exactly the broadcast path's pairs and jaccards."""
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    a = minhash_lsh_pairs(docs, threshold=0.5).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    b = (
+        minhash_lsh_pairs(docs, threshold=0.5, verify_broadcast_limit=0)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert list(a["a"]) == list(b["a"]) and list(a["b"]) == list(b["b"])
+    assert np.allclose(a["jaccard"], b["jaccard"])
+
+
 def test_near_dedup_join_fallback(ray_session):
     """broadcast_limit=0 forces the left-outer-join keep-set path; it must
     match the broadcast path exactly."""
