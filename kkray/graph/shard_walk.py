@@ -204,7 +204,10 @@ class WalkMixin:
         W = self._take_frontier(incoming)
         out_chunks: list[list[dict]] = [[] for _ in range(self.num_parts)]
         if not W:
-            return (*[_EMPTY() for _ in range(self.num_parts)], 0)
+            return (
+                *[_EMPTY() for _ in range(self.num_parts)],
+                {"moved": 0, "sizes": [0] * self.num_parts},
+            )
         wid, step, cur = W["wid"], W["step"], W["cur"]
         # optional walker-state columns that travel with the walker
         ex = {k: W[k] for k in ("scheme", "mstate", "prev", "wstate") if k in W}
@@ -330,7 +333,10 @@ class WalkMixin:
         out = []
         for p in range(self.num_parts):
             out.append(_concat(out_chunks[p]) if out_chunks[p] else _EMPTY())
-        return (*out, moved)
+        # sizes let the driver prune empty refs: tail supersteps with a
+        # handful of live walkers touch only the shards that hold them
+        # (the reference's small-frontier "light mode", constants.hpp:41)
+        return (*out, {"moved": moved, "sizes": [int(len(c["wid"])) for c in out]})
 
     # ---------------------- second order (node2vec) --------------------- #
     def n2v_stepA(self, superstep: int, *incoming):

@@ -232,16 +232,30 @@ def _ckpt_walk(actors, checkpoint, incoming, P, next_superstep):
 def _drive_first_order(actors, P, checkpoint=None, checkpoint_every=5, start_ss=0, max_supersteps=MAX_SUPERSTEPS):
     superstep = start_ss
     incoming: list[list] = [[] for _ in range(P)]
+    # small-frontier fast path (the reference's light mode): per-target
+    # emigrant sizes returned by walk_step let each round touch ONLY the
+    # shards that actually hold walkers — geometric/PPR tails with a
+    # handful of live walkers cost O(active shards) calls, not O(P^2)
+    active = set(range(P))
     while superstep < max_supersteps:
-        refs = [
-            a.walk_step.options(num_returns=P + 1).remote(superstep, *incoming[p])
-            for p, a in enumerate(actors)
-        ]
-        moved = sum(ray.get([r[P] for r in refs]))
-        incoming = [[refs[q][p] for q in range(P)] for p in range(P)]
+        targets = sorted(active)
+        refs = {
+            p: actors[p].walk_step.options(num_returns=P + 1).remote(superstep, *incoming[p])
+            for p in targets
+        }
+        metas = ray.get([refs[p][P] for p in targets])
+        moved = sum(m["moved"] for m in metas)
+        incoming = [[] for _ in range(P)]
+        active = set()
+        for p, m in zip(targets, metas):
+            for q in range(P):
+                if m["sizes"][q]:
+                    incoming[q].append(refs[p][q])
+                    active.add(q)
         superstep += 1
         if checkpoint is not None and moved and superstep % checkpoint_every == 0:
             incoming = _ckpt_walk(actors, checkpoint, incoming, P, superstep)
+            active = set(range(P))
         if moved == 0:
             break
 
