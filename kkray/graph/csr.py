@@ -22,6 +22,7 @@ class CSRShard:
     weights: np.ndarray | None = None  # float64, aligned with indices
     etypes: np.ndarray | None = None  # int32, aligned with indices
     comp: np.ndarray | None = None  # optional precomputed composite membership keys (see precompute_composite)
+    wext: np.ndarray | None = None  # optional precomputed weight prefix sums (see precompute_wext)
 
     @property
     def size(self) -> int:
@@ -62,6 +63,13 @@ class CSRShard:
         concurrent builders)."""
         if self.comp is None:
             self.comp = self._build_composite()
+
+    def precompute_wext(self) -> None:
+        """Build the O(E) cumulative-weight array once (driver-side for
+        replicated pools, before ray.put) — N workers each rebuilding it
+        per walk_begin was NOTES_r1 gap 2."""
+        if self.wext is None and self.weights is not None:
+            self.wext = np.concatenate([[0.0], np.cumsum(self.weights, dtype=np.float64)])
 
     def _build_composite(self) -> np.ndarray:
         return (

@@ -65,9 +65,19 @@ class WalkMixin:
             w = self.csr.weights
             if w is None:
                 raise ValueError("weighted walk on an unweighted graph")
-            self._wext = np.concatenate([[0.0], np.cumsum(w, dtype=np.float64)])
+            if self.csr.wext is not None:
+                self._wext = self.csr.wext  # shared precompute (zero-copy)
+            elif getattr(self, "_wext_cache", None) is None:
+                self._wext = np.concatenate([[0.0], np.cumsum(w, dtype=np.float64)])
+                self._wext_cache = self._wext  # reuse across walks on this actor
+            else:
+                self._wext = self._wext_cache
             if spec.get("sampler") == "alias":
-                self._build_alias(w)
+                if getattr(self, "_alias_cache", None) is None:
+                    self._build_alias(w)
+                    self._alias_cache = (self._alias_prob, self._alias_idx)
+                else:
+                    self._alias_prob, self._alias_idx = self._alias_cache
         if kind == "metapath":
             et = self.csr.etypes
             if et is None:
