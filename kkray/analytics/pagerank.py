@@ -59,9 +59,16 @@ def pagerank(
         # after gather_k on each shard, and gather_k waits on scatter_k's
         # refs, so the dataflow pipelines with no driver barrier in the
         # critical path (the driver only collects the final deltas).
+        # Per-target refs (num_returns) so density-adaptive sparse
+        # partials flow straight to their receiver.
         for _ in range(start_iter, max_iters):
-            scat = [a.pr_scatter_packed.remote(None) for a in actors]
-            deltas = [a.pr_gather_packed.remote(damping, *scat) for a in actors]
+            scat = [a.pr_scatter.options(num_returns=P + 1).remote(None) for a in actors]
+            deltas = [
+                actors[p].pr_gather.remote(
+                    damping, *[scat[q][P] for q in range(P)], *[scat[q][p] for q in range(P)]
+                )
+                for p in range(P)
+            ]
         ray.get(deltas)
         return graph.gather_vertex_array("pr_get")
 

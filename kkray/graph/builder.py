@@ -62,6 +62,16 @@ class Graph:
         dst = np.asarray(dst, dtype=np.int64)
         if v_num is None:
             v_num = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1) if len(src) else 0
+        # is_valid_edge (reference graph.hpp load filter): edges with an
+        # endpoint outside [0, v_num) are DROPPED, not crashed on — the
+        # reference tolerates dirty converter output the same way
+        valid = (src >= 0) & (src < v_num) & (dst >= 0) & (dst < v_num)
+        if not valid.all():
+            src, dst = src[valid], dst[valid]
+            if weight is not None:
+                weight = np.asarray(weight)[valid]
+            if etype is not None:
+                etype = np.asarray(etype)[valid]
         outdeg = np.bincount(src, minlength=v_num)
         boundaries = degree_aware_boundaries(outdeg, num_parts)
         P = len(boundaries) - 1
@@ -163,7 +173,10 @@ class Graph:
             deg_tbl = edges.groupby("src").count().to_pandas() if e_num else None
             outdeg = np.zeros(v_num, dtype=np.int64)
             if deg_tbl is not None and len(deg_tbl):
-                outdeg[deg_tbl["src"].to_numpy(dtype=np.int64)] = deg_tbl["count()"].to_numpy(dtype=np.int64)
+                dsrc = deg_tbl["src"].to_numpy(dtype=np.int64)
+                dcnt = deg_tbl["count()"].to_numpy(dtype=np.int64)
+                ok = (dsrc >= 0) & (dsrc < v_num)  # invalid srcs are dropped at routing
+                outdeg[dsrc[ok]] = dcnt[ok]
             boundaries = degree_aware_boundaries(outdeg, num_parts)
         else:
             deg_tbl = None
@@ -207,9 +220,16 @@ class Graph:
         # upstream/downstream stages of this very pipeline
         bcast = ray.put((boundaries, hub_vids))
         n_parts_local = P
+        v_num_local = int(v_num)
 
         def add_part(t: pa.Table) -> pa.Table:
             b, hubs = ray.get(bcast)
+            s0 = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            d0 = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            # is_valid_edge filter (reference graph.hpp): drop out-of-range
+            valid = (s0 >= 0) & (s0 < v_num_local) & (d0 >= 0) & (d0 < v_num_local)
+            if not valid.all():
+                t = t.filter(pa.array(valid))
             s = t.column("src").to_numpy(zero_copy_only=False)
             p = part_of(s, b).astype(np.int32)
             ghost = np.zeros(len(s), dtype=np.int8)
@@ -253,6 +273,9 @@ class Graph:
             for p in range(P)
         ]
         ray.get([a.ready.remote() for a in actors])
+        # count what the shards actually LOADED (the add_part validity
+        # filter may have dropped out-of-range edges after the aggregate)
+        e_num = int(sum(ray.get([a.edge_count.remote() for a in actors])))
         return cls(actors, boundaries, v_num, e_num, hub_vids, hub_outdeg)
 
     # ------------------------------------------------------------------ #

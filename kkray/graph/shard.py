@@ -232,6 +232,10 @@ class ShardCore(WalkMixin):
     def deg_get(self):
         return self.lo, self.outdeg
 
+    def edge_count(self) -> int:
+        """Edges this shard actually loaded (CSR + ghost slice)."""
+        return int(self.csr.num_edges + len(self._ghost_dst))
+
     def vertex_table(self, getter: str, col: str = "value"):
         """(vertex, value) arrow table for this shard's range — called via
         .remote() the table stays in the object store so the driver can
@@ -302,16 +306,27 @@ class ShardCore(WalkMixin):
         out = []
         for p in range(self.num_parts):
             s, e = self._route_bounds[p], self._route_bounds[p + 1]
-            acc = np.zeros(self.part_size(p), dtype=dt)
             starts = self._seg_starts[p]
-            if e > s and len(starts):
+            nseg = len(starts) if e > s else 0
+            psize = self.part_size(p)
+            has_ghost = hub_contrib is not None and self._g_route_bounds[p + 1] > self._g_route_bounds[p]
+            if nseg and not has_ghost and nseg * 2 < psize:
+                # density-adaptive SPARSE partial: this sender touches few
+                # of the target's vertices, so ship (dst, val) pairs
+                # instead of a dense slice — exchange volume follows the
+                # edge structure, not O(P*V) (matters at high partition
+                # counts and on power-law webgraphs)
+                out.append((self._seg_dsts[p], np.add.reduceat(per_edge[s:e], starts)))
+                continue
+            acc = np.zeros(psize, dtype=dt)
+            if nseg:
                 acc[self._seg_dsts[p]] = np.add.reduceat(per_edge[s:e], starts)
             gs, ge = self._g_route_bounds[p], self._g_route_bounds[p + 1]
             if ge > gs and hub_contrib is not None:
                 acc += np.bincount(
                     self._g_dst_local[gs:ge],
                     weights=hub_contrib[self._g_hidx[gs:ge]],
-                    minlength=self.part_size(p),
+                    minlength=psize,
                 ).astype(dt, copy=False)
             out.append(acc)
         dangling = float(self.rank[self.outdeg_full == 0].sum(dtype=np.float64))
@@ -327,33 +342,11 @@ class ShardCore(WalkMixin):
         dangling_total = float(sum(args[:P]))
         acc = np.zeros(self.csr.size, dtype=np.float64)
         for part in args[P:]:
-            acc += part
-        new = (1.0 - damping) / self.v_num + damping * (acc + dangling_total / self.v_num)
-        dt = getattr(self, "_pr_dtype", np.float64)
-        new = new.astype(dt, copy=False)
-        delta = float(np.abs(new.astype(np.float64) - self.rank.astype(np.float64)).sum())
-        self.rank = new
-        return delta
-
-    def pr_scatter_packed(self, hub_contrib: np.ndarray | None = None) -> np.ndarray:
-        """Single-object variant of pr_scatter: all P per-target partials
-        concatenated in boundary order, with the dangling scalar appended
-        as the last element. One plasma object per sender per superstep
-        (P objects total instead of P^2 — on one node receivers slice
-        zero-copy; on a multi-node cluster per-pair objects move less data,
-        so this is the single-node/same-node-group exchange)."""
-        parts = self.pr_scatter(hub_contrib)
-        dt = getattr(self, "_pr_dtype", np.float64)
-        return np.concatenate([*parts[: self.num_parts], np.array([parts[self.num_parts]], dtype=dt)])
-
-    def pr_gather_packed(self, damping: float, *sender_arrays) -> float:
-        """Gather from packed sender arrays: slice own range + dangling tail."""
-        off = int(self.lo)
-        acc = np.zeros(self.csr.size, dtype=np.float64)
-        dangling_total = 0.0
-        for arr in sender_arrays:
-            acc += arr[off : off + self.csr.size]
-            dangling_total += float(arr[-1])
+            if isinstance(part, tuple):  # sparse (dst, val) partial
+                # dsts are unique within one partial -> fancy += is exact
+                acc[part[0]] += part[1]
+            else:
+                acc += part
         new = (1.0 - damping) / self.v_num + damping * (acc + dangling_total / self.v_num)
         dt = getattr(self, "_pr_dtype", np.float64)
         new = new.astype(dt, copy=False)

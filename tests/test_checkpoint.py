@@ -145,3 +145,20 @@ def test_graph_from_dataset_layout_and_sketch(ray_session, tmp_path):
     with Graph.from_dataset(ds, num_parts=4, v_num=v, split_threshold=150) as g:
         assert 11 in g.hub_vids
         assert np.allclose(pagerank(g, max_iters=20, tol=None), exp, atol=1e-9)
+
+
+def test_is_valid_edge_filter(ray_session):
+    """Edges with endpoints outside [0, v_num) are dropped, not crashed on
+    (reference load-time is_valid_edge filter), in both build paths."""
+    v = 50
+    src, dst = random_edges(v, 400, seed=31)
+    bad_src = np.concatenate([src, np.array([-3, 7, 200], np.int64)])
+    bad_dst = np.concatenate([dst, np.array([5, 999, 4], np.int64)])
+    exp = pagerank_oracle(src, dst, v, iters=10, tol=0)
+    with Graph.from_arrays(bad_src, bad_dst, num_parts=3, v_num=v) as g:
+        assert g.e_num == len(src)
+        assert np.allclose(pagerank(g, max_iters=10, tol=None), exp, atol=1e-12)
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(bad_src), "dst": pa.array(bad_dst)}))
+    with Graph.from_dataset(ds, num_parts=3, v_num=v) as g:
+        assert g.e_num == len(src)
+        assert np.allclose(pagerank(g, max_iters=10, tol=None), exp, atol=1e-12)
