@@ -59,16 +59,12 @@ def pagerank(
         # after gather_k on each shard, and gather_k waits on scatter_k's
         # refs, so the dataflow pipelines with no driver barrier in the
         # critical path (the driver only collects the final deltas).
-        # Per-target refs (num_returns) so density-adaptive sparse
-        # partials flow straight to their receiver.
+        # One bundle object per sender (sparse-aware per-target entries):
+        # minimal object count on one node; receivers read their entry
+        # zero-copy from plasma.
         for _ in range(start_iter, max_iters):
-            scat = [a.pr_scatter.options(num_returns=P + 1).remote(None) for a in actors]
-            deltas = [
-                actors[p].pr_gather.remote(
-                    damping, *[scat[q][P] for q in range(P)], *[scat[q][p] for q in range(P)]
-                )
-                for p in range(P)
-            ]
+            scat = [a.pr_scatter_bundle.remote(None) for a in actors]
+            deltas = [a.pr_gather_bundle.remote(damping, *scat) for a in actors]
         ray.get(deltas)
         return graph.gather_vertex_array("pr_get")
 

@@ -354,6 +354,38 @@ class ShardCore(WalkMixin):
         self.rank = new
         return delta
 
+    def pr_scatter_bundle(self, hub_contrib: np.ndarray | None = None):
+        """One plasma object per sender per superstep: the P per-target
+        partials (dense array OR sparse (dst, val) tuple, density-chosen)
+        plus the dangling scalar, bundled in one tuple. On one node each
+        receiver reads only its own entry's pages zero-copy; 32 bundles
+        beat 1024 per-pair objects on object-creation overhead. (On a
+        multi-node cluster, use the per-target pr_scatter refs instead so
+        only the needed slice crosses the wire.)"""
+        parts = self.pr_scatter(hub_contrib)
+        return tuple(parts)
+
+    def pr_gather_bundle(self, damping: float, *bundles) -> float:
+        """Gather from sender bundles: my entry is bundle[part_id]; the
+        dangling scalar is bundle[P]."""
+        P = self.num_parts
+        me = self.part_id
+        acc = np.zeros(self.csr.size, dtype=np.float64)
+        dangling_total = 0.0
+        for b in bundles:
+            part = b[me]
+            if isinstance(part, tuple):
+                acc[part[0]] += part[1]
+            else:
+                acc += part
+            dangling_total += float(b[P])
+        new = (1.0 - damping) / self.v_num + damping * (acc + dangling_total / self.v_num)
+        dt = getattr(self, "_pr_dtype", np.float64)
+        new = new.astype(dt, copy=False)
+        delta = float(np.abs(new.astype(np.float64) - self.rank.astype(np.float64)).sum())
+        self.rank = new
+        return delta
+
     def pr_get(self):
         return self.lo, self.rank
 
