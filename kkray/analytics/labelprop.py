@@ -26,6 +26,7 @@ def label_propagation(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 1,
     resume: bool = False,
+    as_dataset: bool = False,
 ):
     actors = graph.actors
     P = graph.num_parts
@@ -53,4 +54,6 @@ def label_propagation(
                 metrics={"changed": int(sum(changed)), "superstep_sec": time.perf_counter() - t0},
                 lineage={"op": "label_propagation", "iter": it, "num_parts": P},
             )
+    if as_dataset:
+        return graph.vertex_dataset("lp_get", "label")
     return graph.gather_vertex_array("lp_get")

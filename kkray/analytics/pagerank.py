@@ -30,7 +30,8 @@ def pagerank(
     checkpoint_every: int = 1,
     resume: bool = False,
     dtype: str = "float64",
-) -> np.ndarray:
+    as_dataset: bool = False,
+):
     """Returns the dense rank vector (sums to 1). Set tol=None for a fixed
     iteration count (the SQL-oracle-comparable mode).
 
@@ -66,6 +67,8 @@ def pagerank(
             scat = [a.pr_scatter_bundle.remote(None) for a in actors]
             deltas = [a.pr_gather_bundle.remote(damping, *scat) for a in actors]
         ray.get(deltas)
+        if as_dataset:
+            return graph.vertex_dataset("pr_get", "pagerank")
         return graph.gather_vertex_array("pr_get")
 
     for it in range(start_iter, max_iters):
@@ -98,4 +101,6 @@ def pagerank(
             )
         if tol is not None and delta < tol:
             break
+    if as_dataset:
+        return graph.vertex_dataset("pr_get", "pagerank")
     return graph.gather_vertex_array("pr_get")

@@ -147,6 +147,26 @@ def test_graph_from_dataset_layout_and_sketch(ray_session, tmp_path):
         assert np.allclose(pagerank(g, max_iters=20, tol=None), exp, atol=1e-9)
 
 
+def test_vertex_dataset_outputs(ray_session):
+    """as_dataset=True returns the per-vertex result as a streaming
+    Dataset from per-shard refs — values identical to the driver vector."""
+    from kkray.analytics import label_propagation
+    from kkray.analytics.components import connected_components
+
+    v = 120
+    src, dst = random_edges(v, 700, seed=13, undirected=True)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        pr = pagerank(g, max_iters=10, tol=None)
+        prd = pagerank(g, max_iters=10, tol=None, as_dataset=True).to_pandas().sort_values("vertex")
+        assert np.allclose(prd["pagerank"].to_numpy(), pr)
+        cc = connected_components(g)
+        ccd = connected_components(g, as_dataset=True).to_pandas().sort_values("vertex")
+        assert np.array_equal(ccd["label"].to_numpy(), cc)
+        lp = label_propagation(g, iters=3)
+        lpd = label_propagation(g, iters=3, as_dataset=True).to_pandas().sort_values("vertex")
+        assert np.array_equal(lpd["label"].to_numpy(), lp)
+
+
 def test_is_valid_edge_filter(ray_session):
     """Edges with endpoints outside [0, v_num) are dropped, not crashed on
     (reference load-time is_valid_edge filter), in both build paths."""
