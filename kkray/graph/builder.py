@@ -381,6 +381,7 @@ class WalkerPool:
             v_num = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1) if len(src) else 0
         csr = build_csr(0, v_num, src, dst, weight, etype)
         csr.precompute_composite()  # once, driver-side — never per worker
+        csr.precompute_edge_hash()  # O(1) membership probes (node2vec)
         csr.precompute_wext()  # weighted-sampler prefix sums, once
         csr_ref = ray.put(csr)
         boundaries = np.array([0, v_num], dtype=np.int64)

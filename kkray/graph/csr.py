@@ -23,6 +23,8 @@ class CSRShard:
     etypes: np.ndarray | None = None  # int32, aligned with indices
     comp: np.ndarray | None = None  # optional precomputed composite membership keys (see precompute_composite)
     wext: np.ndarray | None = None  # optional precomputed weight prefix sums (see precompute_wext)
+    ehash: np.ndarray | None = None  # optional open-addressing edge hash table (see precompute_edge_hash)
+    ehash_mask: int = 0
 
     @property
     def size(self) -> int:
@@ -47,7 +49,10 @@ class CSRShard:
 
         Requires indices < 2^32 and size < 2^31 (composite uint64 key).
         The >2^32-vertex path needs a two-level probe — documented limit.
+        Uses the O(1) hash table when precompute_edge_hash has run.
         """
+        if self.ehash is not None:
+            return self.contains_edges_hash(v_local, x)
         comp = self._composite()
         if len(comp) == 0:
             return np.zeros(len(v_local), dtype=bool)
@@ -63,6 +68,57 @@ class CSRShard:
         concurrent builders)."""
         if self.comp is None:
             self.comp = self._build_composite()
+
+    def precompute_edge_hash(self, load: float = 0.5) -> None:
+        """Open-addressing (linear probe) hash table over the composite
+        (src_local << 32 | dst) edge keys: membership probes cost 1-2
+        random accesses instead of the composite binary search's ~log2(E)
+        cache misses — the node2vec query is probe-dominated (measured
+        ~70% of walk time in searchsorted before this). Costs 16B/edge at
+        load 0.5; built once (driver-side for replicated pools)."""
+        if self.ehash is not None or self.num_edges == 0:
+            return
+        from ..utils import splitmix64
+
+        keys = np.unique(self._composite()) + np.uint64(1)  # reserve 0 = empty
+        n = len(keys)
+        size = 1 << int(np.ceil(np.log2(max(2, int(n / load)))))
+        mask = np.uint64(size - 1)
+        # vectorized linear-probe construction: sort keys by home slot,
+        # then slot_i = max(h_i, slot_{i-1}+1) = i + running_max(h_i - i)
+        # (one argsort + one cumulative max — no insertion loop). Probes
+        # never wrap: overshoot past `size` lands in a zero-filled tail.
+        h = (splitmix64(keys) & mask).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        slots = np.arange(n, dtype=np.int64) + np.maximum.accumulate(hs - np.arange(n, dtype=np.int64))
+        tail = int(slots.max() - size + 1) if n and slots.max() >= size else 0
+        table = np.zeros(size + tail + 1, dtype=np.uint64)
+        table[slots] = keys[order]
+        self.ehash = table
+        self.ehash_mask = size - 1
+
+    def contains_edges_hash(self, v_local: np.ndarray, x: np.ndarray) -> np.ndarray:
+        """Hash-table variant of contains_edges (precompute_edge_hash)."""
+        from ..utils import splitmix64
+
+        n = len(v_local)
+        out = np.zeros(n, dtype=bool)
+        if self.ehash is None or n == 0:
+            return out
+        mask = np.uint64(self.ehash_mask)
+        keys = ((np.asarray(v_local).astype(np.uint64) << np.uint64(32)) | np.asarray(x).astype(np.uint64)) + np.uint64(1)
+        idx = (splitmix64(keys) & mask).astype(np.int64)
+        alive = np.arange(n)
+        while len(alive):
+            slot = self.ehash[idx[alive]]
+            k = keys[alive]
+            hit = slot == k
+            out[alive[hit]] = True
+            cont = (~hit) & (slot != 0)  # occupied by another key: keep probing
+            alive = alive[cont]
+            idx[alive] = idx[alive] + 1  # no wrap: table has a zero tail
+        return out
 
     def precompute_wext(self) -> None:
         """Build the O(E) cumulative-weight array once (driver-side for

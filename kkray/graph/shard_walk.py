@@ -78,6 +78,9 @@ class WalkMixin:
                     self._alias_cache = (self._alias_prob, self._alias_idx)
                 else:
                     self._alias_prob, self._alias_idx = self._alias_cache
+        if kind == "node2vec":
+            # O(1) hash membership probes; no-op when prebuilt (pool path)
+            self.csr.precompute_edge_hash()
         if kind == "metapath":
             et = self.csr.etypes
             if et is None:
