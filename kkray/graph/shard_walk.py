@@ -81,6 +81,20 @@ class WalkMixin:
         if kind == "node2vec":
             # O(1) hash membership probes; no-op when prebuilt (pool path)
             self.csr.precompute_edge_hash()
+        if kind == "custom":
+            # per-vertex dcomp bound ARRAYS (reference dcomp_upperbound /
+            # lowerbound filled from upperbound_func(v, adj),
+            # walk.hpp:499-536): a callable bound is evaluated ONCE per
+            # shard over the owned vertex range; scalars broadcast as-is
+            vids = np.arange(self.lo, self.hi, dtype=np.int64)
+            ub = spec.get("dynamic_ub")
+            lb = spec.get("dynamic_lb", 0.0)
+            self._cub = (
+                np.asarray(ub(vids, self.outdeg), dtype=np.float64) if callable(ub) else ub
+            )
+            self._clb = (
+                np.asarray(lb(vids, self.outdeg), dtype=np.float64) if callable(lb) else lb
+            )
         if kind == "metapath":
             et = self.csr.etypes
             if et is None:
@@ -268,9 +282,12 @@ class WalkMixin:
                 ok = ((np.int64(1) << self.csr.etypes[pos].astype(np.int64)) & allowed) != 0
             elif kind == "custom" and spec.get("dynamic_fn") is not None:
                 # rejection with bounds (reference walk.hpp:1030-1040):
-                # dart = r*ub; pre-accept when dart<=lb, else evaluate hook
-                dart = rng.random(len(wid)) * spec["dynamic_ub"]
-                ok = dart <= spec["dynamic_lb"]
+                # dart = r*ub; pre-accept when dart<=lb, else evaluate
+                # hook. ub/lb may be per-vertex arrays (indexed at cur).
+                ub = self._cub[cur_local] if isinstance(self._cub, np.ndarray) else self._cub
+                lb = self._clb[cur_local] if isinstance(self._clb, np.ndarray) else self._clb
+                dart = rng.random(len(wid)) * ub
+                ok = dart <= lb
                 rest = ~ok
                 if rest.any():
                     prev_arr = ex["prev"] if "prev" in ex else np.full(len(wid), -1, dtype=np.int64)

@@ -13,10 +13,11 @@ user-extension surface (SURVEY.md §2.5):
   match with rejection sampling).
 * ``Node2vecSpec`` ~ the second-order config (include/walk.hpp:273-363 +
   src/apps/node2vec.hpp:108-202): dynamic = 1/p (return), 1 (common
-  neighbour), 1/q (else); upper bound max(1/p,1,1/q) — we fold 1/p into the
-  bound instead of the reference's outlier-appendix path
-  (node2vec.hpp:47-106): identical distribution, slightly more rejections;
-  lower bound min(1/p,1,1/q) enables pre-acceptance without the remote
+  neighbour), 1/q (else). On unweighted graphs with 1/p > max(1,1/q) the
+  engine uses the reference's outlier-appendix sampling (node2vec.hpp:47-106,
+  walk.hpp:981-1014: the return edge gets its own overflow area beside the
+  regular deg*ub region); otherwise 1/p folds into the scalar bound.
+  Lower bound min(1/p,1,1/q) enables pre-acceptance without the remote
   membership query (the reference's lower-bound optimization,
   walk.hpp:1030-1040).
 """
@@ -52,15 +53,19 @@ class TransitionSpec:
     #     requires dynamic_ub (reference's validity assert walk.hpp:251-261)
     #   dynamic_ub / dynamic_lb: rejection bounds (dcomp_upperbound /
     #     lowerbound, reference walk.hpp:1030-1040): accept iff
-    #     r*ub <= dynamic; pre-accept when r*ub <= lb without calling the hook
+    #     r*ub <= dynamic; pre-accept when r*ub <= lb without calling the
+    #     hook. Either may be a SCALAR or a CALLABLE
+    #     (vids, out_degree) -> per-vertex array, evaluated once per shard
+    #     over its owned range (the reference's per-vertex bound arrays
+    #     filled from upperbound_func, walk.hpp:499-536)
     # walker state (reference WalkerConfig hooks, walk.hpp:147-193):
     #   state_init_fn(wid, start) -> int64 state per walker
     #   state_update_fn(wstate, step, cur, cand) -> new state (called once
     #     per ACCEPTED step, matching walker_update_state_func timing)
     extension_fn: object = None
     dynamic_fn: object = None
-    dynamic_ub: float | None = None
-    dynamic_lb: float = 0.0
+    dynamic_ub: object = None  # scalar or (vids, outdeg) -> array
+    dynamic_lb: object = 0.0  # scalar or (vids, outdeg) -> array
     track_prev: bool = False  # carry previous vertex for dynamic_fn
     state_init_fn: object = None
     state_update_fn: object = None

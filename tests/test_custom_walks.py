@@ -117,3 +117,68 @@ def test_state_hook_hash_replay(ray_session):
             with np.errstate(over="ignore"):
                 ws = (ws * M + np.int64(path[i]) * np.int64(i)) % MOD
         assert got[int(wid)] == int(ws), f"walker {wid}"
+
+
+def test_per_vertex_bound_arrays(ray_session):
+    """dynamic_ub/lb as callables (vids, outdeg) -> per-vertex arrays
+    (reference dcomp bound arrays, walk.hpp:499-536). A constant-valued
+    callable must replay bit-identically to the scalar bound; a genuinely
+    per-vertex bound must still enforce the dynamic component exactly."""
+    v, e = 30, 260
+    src, dst = random_edges(v, e, seed=8, undirected=True)
+    # guarantee every vertex keeps a legal (non-zero-dynamic) move so no
+    # walker lands in an absorbing all-rejected state (a zero-everywhere
+    # dynamic loops forever, exactly like the reference's retry loop)
+    ring_s = np.arange(v, dtype=np.int64)
+    ring_d = (ring_s + 1) % v
+    src = np.concatenate([src, ring_s, ring_d])
+    dst = np.concatenate([dst, ring_d, ring_s])
+
+    def dyn(step, cur, cand, prev, wstate):
+        # forbid ring-backward moves; ring-forward always stays legal
+        return np.where((cand + 1) % v == cur, 0.0, 1.5)
+
+    # constant callable == scalar: bit-identical replay
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        a = paths_to_numpy(
+            random_walk(
+                g,
+                WalkerSpec(300, "equal"),
+                TransitionSpec(kind="custom", length=6, dynamic_fn=dyn, dynamic_ub=1.5),
+                seed=9,
+            )
+        )
+        b = paths_to_numpy(
+            random_walk(
+                g,
+                WalkerSpec(300, "equal"),
+                TransitionSpec(
+                    kind="custom",
+                    length=6,
+                    dynamic_fn=dyn,
+                    dynamic_ub=lambda vids, deg: np.full(len(vids), 1.5),
+                ),
+                seed=9,
+            )
+        )
+    assert set(a) == set(b)
+    assert all(np.array_equal(a[k], b[k]) for k in a)
+
+    # per-vertex ub (varies by degree) still yields only legal transitions
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        c = paths_to_numpy(
+            random_walk(
+                g,
+                WalkerSpec(500, "equal"),
+                TransitionSpec(
+                    kind="custom",
+                    length=8,
+                    dynamic_fn=dyn,
+                    dynamic_ub=lambda vids, deg: np.full(len(vids), 1.5) + (deg % 3) * 0.5,
+                    dynamic_lb=lambda vids, deg: np.zeros(len(vids)),
+                ),
+                seed=11,
+            )
+        )
+    for p in c.values():
+        assert all((p[i + 1] + 1) % v != p[i] for i in range(len(p) - 1)), p
