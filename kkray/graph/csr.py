@@ -13,6 +13,52 @@ from dataclasses import dataclass
 import numpy as np
 
 
+def build_u64_hash(keys: np.ndarray, load: float = 0.5) -> tuple[np.ndarray, int]:
+    """Open-addressing (linear probe) table over unique uint64 keys, fully
+    vectorized: sort keys by home slot, then slot_i = max(h_i, s_{i-1}+1)
+    = i + running_max(h_i - i) (one argsort + one cumulative max). Probes
+    never wrap: overshoot lands in a zero-filled tail. Key 0 is reserved
+    as 'empty' — callers offset their keys by +1."""
+    from ..utils import splitmix64
+
+    keys = np.unique(np.asarray(keys, dtype=np.uint64))
+    n = len(keys)
+    if n == 0:
+        return np.zeros(2, dtype=np.uint64), 1
+    size = 1 << int(np.ceil(np.log2(max(2, int(n / load)))))
+    mask = np.uint64(size - 1)
+    h = (splitmix64(keys) & mask).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    slots = np.arange(n, dtype=np.int64) + np.maximum.accumulate(hs - np.arange(n, dtype=np.int64))
+    tail = int(slots.max() - size + 1) if slots.max() >= size else 0
+    table = np.zeros(size + tail + 1, dtype=np.uint64)
+    table[slots] = keys[order]
+    return table, size - 1
+
+
+def probe_u64_hash(table: np.ndarray, mask: int, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe against build_u64_hash output."""
+    from ..utils import splitmix64
+
+    keys = np.asarray(keys, dtype=np.uint64)
+    n = len(keys)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    idx = (splitmix64(keys) & np.uint64(mask)).astype(np.int64)
+    alive = np.arange(n)
+    while len(alive):
+        slot = table[idx[alive]]
+        k = keys[alive]
+        hit = slot == k
+        out[alive[hit]] = True
+        cont = (~hit) & (slot != 0)  # occupied by another key: keep probing
+        alive = alive[cont]
+        idx[alive] = idx[alive] + 1  # no wrap: table has a zero tail
+    return out
+
+
 @dataclass
 class CSRShard:
     lo: int  # first owned vertex id (global)
@@ -78,47 +124,16 @@ class CSRShard:
         load 0.5; built once (driver-side for replicated pools)."""
         if self.ehash is not None or self.num_edges == 0:
             return
-        from ..utils import splitmix64
-
-        keys = np.unique(self._composite()) + np.uint64(1)  # reserve 0 = empty
-        n = len(keys)
-        size = 1 << int(np.ceil(np.log2(max(2, int(n / load)))))
-        mask = np.uint64(size - 1)
-        # vectorized linear-probe construction: sort keys by home slot,
-        # then slot_i = max(h_i, slot_{i-1}+1) = i + running_max(h_i - i)
-        # (one argsort + one cumulative max — no insertion loop). Probes
-        # never wrap: overshoot past `size` lands in a zero-filled tail.
-        h = (splitmix64(keys) & mask).astype(np.int64)
-        order = np.argsort(h, kind="stable")
-        hs = h[order]
-        slots = np.arange(n, dtype=np.int64) + np.maximum.accumulate(hs - np.arange(n, dtype=np.int64))
-        tail = int(slots.max() - size + 1) if n and slots.max() >= size else 0
-        table = np.zeros(size + tail + 1, dtype=np.uint64)
-        table[slots] = keys[order]
-        self.ehash = table
-        self.ehash_mask = size - 1
+        self.ehash, self.ehash_mask = build_u64_hash(self._composite() + np.uint64(1), load)
 
     def contains_edges_hash(self, v_local: np.ndarray, x: np.ndarray) -> np.ndarray:
         """Hash-table variant of contains_edges (precompute_edge_hash)."""
-        from ..utils import splitmix64
-
         n = len(v_local)
         out = np.zeros(n, dtype=bool)
         if self.ehash is None or n == 0:
             return out
-        mask = np.uint64(self.ehash_mask)
         keys = ((np.asarray(v_local).astype(np.uint64) << np.uint64(32)) | np.asarray(x).astype(np.uint64)) + np.uint64(1)
-        idx = (splitmix64(keys) & mask).astype(np.int64)
-        alive = np.arange(n)
-        while len(alive):
-            slot = self.ehash[idx[alive]]
-            k = keys[alive]
-            hit = slot == k
-            out[alive[hit]] = True
-            cont = (~hit) & (slot != 0)  # occupied by another key: keep probing
-            alive = alive[cont]
-            idx[alive] = idx[alive] + 1  # no wrap: table has a zero tail
-        return out
+        return probe_u64_hash(self.ehash, self.ehash_mask, keys)
 
     def precompute_wext(self) -> None:
         """Build the O(E) cumulative-weight array once (driver-side for

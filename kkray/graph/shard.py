@@ -529,6 +529,7 @@ class ShardCore(WalkMixin):
         # membership structure keyed by (local_v, rank(w)) — rank-sorted CSR
         comp = (o_src.astype(np.uint64) << np.uint64(32)) | self._tri_rank[o_dst].astype(np.uint64)
         self._tri_comp = comp  # already sorted (src-major, rank-minor)
+        self._tri_hash = None  # probe table rebuilt lazily per tri_build
         return int(len(o_dst))
 
     def tri_total_pairs(self) -> int:
@@ -583,15 +584,25 @@ class ShardCore(WalkMixin):
         return tuple(out)
 
     def tri_count(self, *query_batches) -> int:
-        """Count how many queried (v, w_rank) oriented edges exist locally."""
+        """Count how many queried (v, w_rank) oriented edges exist locally.
+        Probes the O(1) open-addressing table over the oriented edge keys
+        (built lazily on first call) instead of a per-key binary search."""
         total = 0
         comp = self._tri_comp
+        if len(comp) == 0:
+            return 0
+        if getattr(self, "_tri_hash", None) is None:
+            from .csr import build_u64_hash
+
+            self._tri_hash = build_u64_hash(comp + np.uint64(1))
+        from .csr import probe_u64_hash
+
+        table, mask = self._tri_hash
         for v_glob, w_rank in query_batches:
-            if len(v_glob) == 0 or len(comp) == 0:
+            if len(v_glob) == 0:
                 continue
-            keys = ((v_glob - self.lo).astype(np.uint64) << np.uint64(32)) | w_rank.astype(np.uint64)
-            pos = np.minimum(np.searchsorted(comp, keys), len(comp) - 1)
-            total += int((comp[pos] == keys).sum())
+            keys = (((v_glob - self.lo).astype(np.uint64) << np.uint64(32)) | w_rank.astype(np.uint64)) + np.uint64(1)
+            total += int(probe_u64_hash(table, mask, keys).sum())
         return total
 
 
