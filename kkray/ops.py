@@ -35,10 +35,9 @@ def distinct_rows(ds: ray.data.Dataset, cols: list[str], num_shards: int = 64) -
     """Exact distinct over `cols`: per-batch local dedup (combiner) ->
     shard by row hash -> per-shard vectorized dedup."""
 
-    def local(df: pd.DataFrame) -> pd.DataFrame:
+    def local(df: pd.DataFrame) -> pa.Table:
         out = df[cols].drop_duplicates()
-        out = out.assign(_shard=_shard_of(out, cols, num_shards))
-        return out
+        return pa_from_pandas(out.assign(_shard=_shard_of(out, cols, num_shards)))
 
     def per_shard(g: pd.DataFrame) -> pa.Table:
         # emit ARROW: pandas blocks out of map_groups carry a schema
@@ -65,11 +64,11 @@ def bucket_pairs(
     expansion; the python loop touches only multi-member buckets.
     Output: (a, b[, payload_a, payload_b]) with a < b, deduplicated."""
 
-    def local(df: pd.DataFrame) -> pd.DataFrame:
+    def local(df: pd.DataFrame) -> pa.Table:
         keep = key_cols + [id_col] + ([payload_col] if payload_col else [])
         out = df[keep].copy()
         out["_shard"] = _shard_of(out, key_cols, num_shards)
-        return out
+        return pa_from_pandas(out)
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(key_cols + [id_col]).drop_duplicates(key_cols + [id_col])
@@ -109,9 +108,9 @@ def bucket_pairs(
     # cross-shard (a,b) dedup: same pair can surface from different keys
     cols = ["a", "b"] + (["payload_a", "payload_b"] if payload_col else [])
 
-    def local2(df: pd.DataFrame) -> pd.DataFrame:
+    def local2(df: pd.DataFrame) -> pa.Table:
         out = df[cols].drop_duplicates(["a", "b"])
-        return out.assign(_shard=_shard_of(out, ["a", "b"], num_shards))
+        return pa_from_pandas(out.assign(_shard=_shard_of(out, ["a", "b"], num_shards)))
 
     return (
         paired.map_batches(local2, batch_format="pandas")

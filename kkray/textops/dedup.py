@@ -88,33 +88,68 @@ class MinHasher:
         self.b = rng.integers(0, MERSENNE, num_perm, dtype=np.uint64)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        # batch-vectorized: hash ALL shingles of the batch once, build the
-        # (num_perm x total_shingles) permutation values in one broadcast,
-        # then per-doc segment minima via minimum.reduceat — no per-doc
-        # python-level matrix work.
-        docs = df["text"].fillna("").tolist()
+        # fully vectorized: ONE C-level token explode per batch, per-token
+        # siphash via pd.util.hash_pandas_object (stable across processes),
+        # shingle hash = splitmix-mix of the n consecutive token hashes
+        # (shifted-array combine, masked at doc boundaries), then per-doc
+        # segment minima of the (num_perm x shingles) permutation values
+        # via minimum.reduceat — no python loop over tokens or shingles.
+        from ..utils import splitmix64 as _mix
+
+        texts = df["text"].fillna("").reset_index(drop=True)
         ids_in = df["doc_id"].to_numpy()
-        all_sh: list[str] = []
-        seg = [0]
-        for t in docs:
-            sh = _shingles(t, self.n)
-            all_sh.extend(sh)
-            seg.append(len(all_sh))
-        seg = np.asarray(seg)
-        n_docs = len(docs)
+        n_docs = len(texts)
+        split = texts.str.split()
+        n_words = split.str.len().to_numpy().astype(np.int64)
+        ex = split.explode().dropna()
         sigs = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-        if all_sh:
-            base = np.empty(len(all_sh), dtype=np.uint64)
-            for i, s in enumerate(all_sh):
-                base[i] = np.frombuffer(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), dtype=np.uint64)[0]
+        if len(ex):
+            tok_h = pd.util.hash_pandas_object(ex, index=False).to_numpy()
+            doc_of = ex.index.to_numpy().astype(np.int64)
+            # combine n consecutive token hashes into shingle hashes
             with np.errstate(over="ignore"):
-                x = base % MERSENNE
-                vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % MERSENNE  # (P, S)
-            nonempty = np.flatnonzero(np.diff(seg) > 0)
-            if len(nonempty):
-                starts = seg[nonempty]
-                mins = np.minimum.reduceat(vals, starts, axis=1)  # (P, n_nonempty)
-                sigs[nonempty] = mins.T.astype(np.uint64)
+                sh = tok_h.copy()
+                for k in range(1, self.n):
+                    shifted = np.empty_like(tok_h)
+                    shifted[: len(tok_h) - k] = tok_h[k:]
+                    shifted[len(tok_h) - k :] = 0
+                    sh = _mix(sh ^ (shifted + np.uint64(0x9E3779B97F4A7C15)))
+            # shingle i is valid if tokens i..i+n-1 are in the SAME doc;
+            # docs shorter than n keep their single all-token shingle
+            # (matching _shingles' short-doc rule)
+            last_ok = np.empty(len(tok_h), dtype=bool)
+            if self.n > 1:
+                last_ok[: len(tok_h) - (self.n - 1)] = (
+                    doc_of[: len(tok_h) - (self.n - 1)] == doc_of[self.n - 1 :]
+                )
+                last_ok[len(tok_h) - (self.n - 1) :] = False
+            else:
+                last_ok[:] = True
+            # short docs: their first token position carries the whole-doc
+            # shingle hash (mix of all their tokens happens to be what the
+            # shifted combine computed only when the doc has >= n tokens;
+            # recompute the short-doc hash as the mix over its tokens)
+            starts_all = np.concatenate(([0], np.cumsum(n_words)))
+            short = np.flatnonzero((n_words > 0) & (n_words < self.n))
+            for d in short:  # rare rows only
+                s, e = starts_all[d], starts_all[d + 1]
+                h = tok_h[s]
+                with np.errstate(over="ignore"):
+                    for t in tok_h[s + 1 : e]:
+                        h = _mix(h ^ (t + np.uint64(0x9E3779B97F4A7C15)))
+                sh[s] = h
+                last_ok[s] = True
+            base = sh[last_ok]
+            doc_sel = doc_of[last_ok]
+            if len(base):
+                with np.errstate(over="ignore"):
+                    x = base % MERSENNE
+                    vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % MERSENNE  # (P, S)
+                # doc_sel is nondecreasing; segment boundaries per doc
+                seg_starts = np.concatenate(([0], np.flatnonzero(np.diff(doc_sel) != 0) + 1))
+                seg_docs = doc_sel[seg_starts]
+                mins = np.minimum.reduceat(vals, seg_starts, axis=1)  # (P, n_segs)
+                sigs[seg_docs] = mins.T.astype(np.uint64)
         # band hashes: xor-fold each band's rows, then mix
         band_hash = np.empty((n_docs, self.bands), dtype=np.uint64)
         with np.errstate(over="ignore"):
@@ -288,22 +323,27 @@ def near_dedup(
 
 
 class SimHasher:
-    """64-bit SimHash over whitespace tokens (unit weights)."""
+    """64-bit SimHash over whitespace tokens (unit weights). One C-level
+    token explode + siphash per batch; bit votes via np.add.at over the
+    (token, 64) bit matrix grouped by doc — no per-doc python loop."""
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.empty(len(df), dtype=np.uint64)
-        for i, text in enumerate(df["text"].fillna("")):
-            toks = text.split()
-            if not toks:
-                sigs[i] = 0
-                continue
-            hs = _text_hash64(toks)
+        texts = df["text"].fillna("").reset_index(drop=True)
+        n_docs = len(texts)
+        split = texts.str.split()
+        ex = split.explode().dropna()
+        sigs = np.zeros(n_docs, dtype=np.uint64)
+        if len(ex):
+            hs = pd.util.hash_pandas_object(ex, index=False).to_numpy()
+            doc_of = ex.index.to_numpy().astype(np.int64)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
+            votes = np.zeros((n_docs, 64), dtype=np.int64)
+            np.add.at(votes, doc_of, 2 * bits - 1)
             with np.errstate(over="ignore"):
-                sig = (np.uint64(1) << np.arange(64, dtype=np.uint64))[votes > 0].sum(dtype=np.uint64)
-            sigs[i] = sig
+                weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+                sigs = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+            # empty docs keep signature 0 (no tokens -> no votes) — same
+            # as the previous per-doc rule
         out = df.copy()
         out["simhash"] = sigs
         return out
