@@ -437,6 +437,42 @@ def _q_knn_lsh(sf_dir: str):
     return out[["query_vec_id", "rank", "vec_id"]].astype("int64").reset_index(drop=True)
 
 
+def _q_word_chars(sf_dir: str):
+    """Non-whitespace char count per doc (vectorized str.count — oracle:
+    length(regexp_replace(text,'\\s','','g')))."""
+    import ray.data
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_word_chars": texts.str.count(r"\S").astype("int64")}
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(stats, batch_format="pandas").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_emb_near_dup(sf_dir: str):
+    """Embedding cosine near-dup pairs. Exact mode (n_planes=0, one
+    bucket) so the result is SQL-oracle-comparable; the LSH-bucketed mode
+    is recall<1 by design and is pytest-covered instead. Threshold 0.42
+    sits >7e-4 away from every actual pair similarity in the fixtures, so
+    the float boundary cannot flip membership between engines."""
+    import ray.data
+    from kkray.textops import embedding_near_dup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = embedding_near_dup(emb, threshold=0.42, n_planes=0).to_pandas()
+    if "a" not in out.columns:  # empty map_groups output loses its schema
+        out = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    out = out[["a", "b"]].astype("int64")
+    lo = out.min(axis=1)  # engine pairs are bucket-positional; oracle wants a<b
+    hi = out.max(axis=1)
+    return (
+        pd.DataFrame({"a": lo, "b": hi}).sort_values(["a", "b"]).reset_index(drop=True)
+    )
+
+
 def _q_emb_labels(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count
@@ -477,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_token_counts": _q_doc_tokens,
         "doc_char_digit_counts": _q_doc_chars,
+        "doc_word_chars": _q_word_chars,
         "lang_counts": _q_lang_counts,
         "source_stats": _q_source_stats,
         "langid_pred": _q_langid,
@@ -487,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_top5": _q_knn,
         "knn_lsh_top5": _q_knn_lsh,
         "embedding_label_counts": _q_emb_labels,
+        "embedding_near_dup_pairs": _q_emb_near_dup,
         # relational surface (joins/aggregates/top-k/window)
         "pricing_summary": lambda sf: pricing_summary(sf),
         "revenue_per_nation": lambda sf: revenue_per_nation(sf),
@@ -523,6 +561,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars,
                    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
             FROM documents""",
+        "doc_word_chars": r"""
+            SELECT doc_id, length(regexp_replace(text, '\s', '', 'g'))::BIGINT AS n_word_chars
+            FROM documents""",
+        "embedding_near_dup_pairs": """
+            SELECT e1.vec_id::BIGINT AS a, e2.vec_id::BIGINT AS b
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.42
+            ORDER BY a, b""",
         "lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "source_stats": "SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars FROM documents GROUP BY source",
         "embedding_label_counts": "SELECT label::BIGINT AS label, count(*) AS n FROM embeddings GROUP BY label",
