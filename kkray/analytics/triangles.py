@@ -24,12 +24,19 @@ def triangle_count(graph, chunk_pairs: int = 1 << 22, max_inflight: int | None =
     wedge blocks are freed as soon as they're counted."""
     actors = graph.actors
     P = graph.num_parts
-    deg = graph.out_degrees()  # undirected degree (graph built on expansion)
-    order = np.lexsort((np.arange(graph.v_num), deg))
-    rank = np.empty(graph.v_num, dtype=np.int64)
-    rank[order] = np.arange(graph.v_num)
-    rank_ref = ray.put(rank)
-    ray.get([a.tri_build.remote(rank_ref) for a in actors])
+    # distributed degree-join orientation: shards request neighbour
+    # degrees from owners (ref-routed, O(unique dst) per shard) — no
+    # dense O(V) rank array is built anywhere, driver included
+    reqs = [a.tri_deg_requests.options(num_returns=P).remote() for a in actors]
+    if P == 1:
+        reqs = [[r] for r in reqs]
+    resp = [
+        actors[p].tri_deg_lookup.options(num_returns=P).remote(*[reqs[q][p] for q in range(P)])
+        for p in range(P)
+    ]
+    if P == 1:
+        resp = [[r] for r in resp]
+    ray.get([actors[q].tri_build.remote(*[resp[p][q] for p in range(P)]) for q in range(P)])
     totals = ray.get([a.tri_total_pairs.remote() for a in actors])
     if max_inflight is None:
         max_inflight = 8 * P

@@ -506,29 +506,59 @@ class ShardCore(WalkMixin):
 
     # ----------------------- Triangle counting ------------------------- #
     # Degree-ordered orientation + wedge-join (SURVEY.md §2.7): keep edges
-    # u->v with rank[u] < rank[v] (rank = dense (degree,id) order), generate
-    # wedges (v,w) from each oriented adjacency, probe edge (v,w) at v's
-    # partition with the composite-key searchsorted of CSRShard.
-    def tri_build(self, rank_arr: np.ndarray):
-        """rank_arr: dense global (deg,id) rank, broadcast via ray.put once
-        (sandbox path; the >RAM path is a rank join — documented)."""
+    # u->v with (deg(u),u) < (deg(v),v), generate wedges (v,w) from each
+    # oriented adjacency (neighbours sorted by that order), probe oriented
+    # edge (v,w) at v's partition by hash. Neighbour degrees come from a
+    # distributed degree fetch (tri_deg_requests/lookup) — NO dense global
+    # rank array exists anywhere.
+    def tri_deg_requests(self):
+        """Unique out-neighbour ids bucketed by owner partition; remembers
+        the layout so tri_build can map degrees back to edges."""
+        dst = self.csr.indices
+        uniq = np.unique(dst)
+        parts = part_of(uniq, self.boundaries)
+        bounds = np.searchsorted(parts, np.arange(self.num_parts + 1))
+        self._tri_uniq = uniq  # sorted -> contiguous owner buckets
+        self._tri_uniq_bounds = bounds
+        return tuple(uniq[bounds[p] : bounds[p + 1]] for p in range(self.num_parts))
+
+    def tri_deg_lookup(self, *id_batches):
+        """Answer degree queries for owned vertex ids (the join's probe
+        side — O(query) not O(V))."""
+        return tuple(self.outdeg_full[np.asarray(ids, dtype=np.int64) - self.lo] for ids in id_batches)
+
+    def tri_build(self, *deg_batches):
+        """Assemble neighbour degrees (responses aligned with
+        tri_deg_requests buckets), orient, and build the oriented CSR +
+        membership keys (v_local << 32 | w)."""
         if len(self.hub_vids):
             raise ValueError("triangle counting needs full adjacency: build without split_threshold")
-        self._tri_rank = np.asarray(rank_arr)
+        uniq = self._tri_uniq
+        udeg = np.empty(len(uniq), dtype=np.int64)
+        b = self._tri_uniq_bounds
+        for p, batch in enumerate(deg_batches):
+            udeg[b[p] : b[p + 1]] = batch
+        dst = self.csr.indices
+        dst_deg = udeg[np.searchsorted(uniq, dst)]
         src_idx = np.repeat(np.arange(self.csr.size, dtype=np.int64), self.outdeg)
         u_glob = src_idx + self.lo
-        keep = self._tri_rank[u_glob] < self._tri_rank[self.csr.indices]
+        u_deg = self.outdeg_full[src_idx]
+        # lexicographic (deg, id) orientation — same strict total order as
+        # the old dense rank array, no O(V) structure required
+        keep = (u_deg < dst_deg) | ((u_deg == dst_deg) & (u_glob < dst))
         o_src = src_idx[keep]
-        o_dst = self.csr.indices[keep]
-        # adjacency sorted by neighbour *rank* so wedge pairs are oriented
-        order = np.lexsort((self._tri_rank[o_dst], o_src))
+        o_dst = dst[keep]
+        o_ddeg = dst_deg[keep]
+        # adjacency sorted by neighbour (deg, id) so wedge pairs (i<j) are
+        # oriented
+        order = np.lexsort((o_dst, o_ddeg, o_src))
         o_src, o_dst = o_src[order], o_dst[order]
         self._tri_deg = np.bincount(o_src, minlength=self.csr.size)
         self._tri_indptr = np.concatenate([[0], np.cumsum(self._tri_deg)]).astype(np.int64)
         self._tri_adj = o_dst
-        # membership structure keyed by (local_v, rank(w)) — rank-sorted CSR
-        comp = (o_src.astype(np.uint64) << np.uint64(32)) | self._tri_rank[o_dst].astype(np.uint64)
-        self._tri_comp = comp  # already sorted (src-major, rank-minor)
+        self._tri_ddeg = o_ddeg[order]
+        comp = (o_src.astype(np.uint64) << np.uint64(32)) | o_dst.astype(np.uint64)
+        self._tri_comp = np.sort(comp)
         self._tri_hash = None  # probe table rebuilt lazily per tri_build
         return int(len(o_dst))
 
@@ -571,20 +601,19 @@ class ShardCore(WalkMixin):
         else:
             v_arr = np.empty(0, dtype=np.int64)
             w_arr = np.empty(0, dtype=np.int64)
-        w_rank = self._tri_rank[w_arr]
         if self.num_parts == 1:
-            return ((v_arr, w_rank),)
+            return ((v_arr, w_arr),)
         vpart = part_of(v_arr, self.boundaries)
         order = np.argsort(vpart, kind="stable")
         bounds = np.searchsorted(vpart[order], np.arange(self.num_parts + 1))
         out = []
         for p in range(self.num_parts):
             s, e = bounds[p], bounds[p + 1]
-            out.append((v_arr[order[s:e]], w_rank[order[s:e]]))
+            out.append((v_arr[order[s:e]], w_arr[order[s:e]]))
         return tuple(out)
 
     def tri_count(self, *query_batches) -> int:
-        """Count how many queried (v, w_rank) oriented edges exist locally.
+        """Count how many queried (v, w) oriented edges exist locally.
         Probes the O(1) open-addressing table over the oriented edge keys
         (built lazily on first call) instead of a per-key binary search."""
         total = 0
@@ -598,10 +627,10 @@ class ShardCore(WalkMixin):
         from .csr import probe_u64_hash
 
         table, mask = self._tri_hash
-        for v_glob, w_rank in query_batches:
+        for v_glob, w_glob in query_batches:
             if len(v_glob) == 0:
                 continue
-            keys = (((v_glob - self.lo).astype(np.uint64) << np.uint64(32)) | w_rank.astype(np.uint64)) + np.uint64(1)
+            keys = (((v_glob - self.lo).astype(np.uint64) << np.uint64(32)) | w_glob.astype(np.uint64)) + np.uint64(1)
             total += int(probe_u64_hash(table, mask, keys).sum())
         return total
 
