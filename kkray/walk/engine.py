@@ -3,10 +3,13 @@ footprints -> assembled paths.
 
 The superstep loop is the Dataset-free core exchange (walker batches are
 small dicts of numpy arrays moved as object refs between shard actors —
-the reference's ``distributed_execute`` message rounds, include/graph.hpp:704-918);
-path assembly is pure Ray Data: footprints Dataset -> groupby(walker) ->
-per-group step sort -> list column (replacing the reference's manual
-footprint shuffle + bucket sort, include/path.hpp:164-477).
+the reference's ``distributed_execute`` message rounds, include/graph.hpp:704-918).
+Footprints stay in the object store (one arrow table per shard); path
+assembly is a routed exchange over those refs — split by walker hash, one
+lexsort + run-detect per reducer — the Ray-native analogue of the
+reference's footprint shuffle + bucket sort (include/path.hpp:164-477).
+``assemble_paths`` offers the same assembly over an arbitrary footprint
+Dataset (shuffled, or in place when blocks are walker-complete).
 """
 from __future__ import annotations
 
