@@ -2,11 +2,15 @@
 (SURVEY.md §2.7 / §7.4 'Triangle counting at skew').
 
 Input must be the undirected expansion (both directions present).
-Orientation by dense (degree, id) rank caps oriented out-degree at
-O(sqrt(E)) — hub adjacencies are *consumed* (queried against) rather than
-expanded, which is the skew handling. The (deg,id) rank array is broadcast
-once via ``ray.put`` (sandbox path — fine to ~10^9 vertices; beyond that
-the orientation becomes a degree join, documented in SURVEY §7.4).
+Orientation by the lexicographic (degree, id) total order caps oriented
+out-degree at O(sqrt(E)) — hub adjacencies are *consumed* (queried
+against) rather than expanded, which is the skew handling. Neighbour
+degrees come from a distributed degree join (``tri_deg_requests`` buckets
+unique out-neighbours by owner, ``tri_deg_lookup`` answers O(query), the
+responses are ref-routed shard-to-shard) — no dense O(V) structure is
+built anywhere, driver included. Wedges stream in bounded chunks with a
+sliding ``ray.wait`` window so a hub-heavy shard never materializes its
+O(Σdeg²) wedge set.
 
 Each ordered triangle (r(u)<r(v)<r(w)) is counted exactly once: as the
 wedge (v,w) generated at u and probed at part(v).
@@ -27,16 +31,17 @@ def triangle_count(graph, chunk_pairs: int = 1 << 22, max_inflight: int | None =
     # distributed degree-join orientation: shards request neighbour
     # degrees from owners (ref-routed, O(unique dst) per shard) — no
     # dense O(V) rank array is built anywhere, driver included
-    reqs = [a.tri_deg_requests.options(num_returns=P).remote() for a in actors]
     if P == 1:
-        reqs = [[r] for r in reqs]
-    resp = [
-        actors[p].tri_deg_lookup.options(num_returns=P).remote(*[reqs[q][p] for q in range(P)])
-        for p in range(P)
-    ]
-    if P == 1:
-        resp = [[r] for r in resp]
-    ray.get([actors[q].tri_build.remote(*[resp[p][q] for p in range(P)]) for q in range(P)])
+        # single shard owns every vertex: skip the exchange entirely
+        # (num_returns=1 would leave the packed 1-tuples unsplit)
+        ray.get(actors[0].tri_build_local.remote())
+    else:
+        reqs = [a.tri_deg_requests.options(num_returns=P).remote() for a in actors]
+        resp = [
+            actors[p].tri_deg_lookup.options(num_returns=P).remote(*[reqs[q][p] for q in range(P)])
+            for p in range(P)
+        ]
+        ray.get([actors[q].tri_build.remote(*[resp[p][q] for p in range(P)]) for q in range(P)])
     totals = ray.get([a.tri_total_pairs.remote() for a in actors])
     if max_inflight is None:
         max_inflight = 8 * P
@@ -52,8 +57,12 @@ def triangle_count(graph, chunk_pairs: int = 1 << 22, max_inflight: int | None =
             lo = cursors[q]
             hi = min(lo + chunk_pairs, totals[q])
             cursors[q] = hi
-            w = actors[q].tri_wedges_chunk.options(num_returns=P).remote(lo, hi)
-            inflight.extend(actors[p].tri_count.remote(w[p]) for p in range(P))
+            if P == 1:
+                w = actors[q].tri_wedges_chunk.remote(lo, hi)
+                inflight.append(actors[0].tri_count_packed.remote(w))
+            else:
+                w = actors[q].tri_wedges_chunk.options(num_returns=P).remote(lo, hi)
+                inflight.extend(actors[p].tri_count.remote(w[p]) for p in range(P))
             progressed = True
             while len(inflight) > max_inflight:
                 done, inflight = ray.wait(inflight, num_returns=len(inflight) - max_inflight)

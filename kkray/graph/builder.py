@@ -253,9 +253,22 @@ class Graph:
             return t
 
         layout = layout_dir or tempfile.mkdtemp(prefix="kkray_graph_", dir="/tmp")
-        edges.map_batches(add_part, batch_format="pyarrow").write_parquet(
-            layout, partition_cols=["part"]
-        )
+        sentinel = os.path.join(layout, "_SUCCESS")
+        if os.path.isdir(layout) and os.listdir(layout):
+            # write_parquet APPENDS part files into an existing dir, which
+            # would silently double-count edges on a rerun: reuse the layout
+            # only if a prior build committed it, else refuse.
+            if not os.path.exists(sentinel):
+                raise ValueError(
+                    f"layout_dir {layout!r} is non-empty but has no _SUCCESS sentinel; "
+                    "pass a fresh directory (a partial layout cannot be appended to)"
+                )
+        else:
+            edges.map_batches(add_part, batch_format="pyarrow").write_parquet(
+                layout, partition_cols=["part"]
+            )
+            with open(sentinel, "w") as f:
+                f.write("")
         read_cols = cols + (["ghost"] if hub_vids is not None else [])
         actors = [
             GraphShard.remote(

@@ -310,17 +310,26 @@ class ShardCore(WalkMixin):
             nseg = len(starts) if e > s else 0
             psize = self.part_size(p)
             has_ghost = hub_contrib is not None and self._g_route_bounds[p + 1] > self._g_route_bounds[p]
+            if nseg:
+                # segment sums accumulate in float64 even in float32 mode
+                # (hub in-degree segments would otherwise grow float32
+                # error with segment length); only the compact per-target
+                # result ships in the rank dtype
+                seg = per_edge[s:e]
+                if dt != np.float64:
+                    seg = seg.astype(np.float64)
+                sums = np.add.reduceat(seg, starts).astype(dt, copy=False)
             if nseg and not has_ghost and nseg * 2 < psize:
                 # density-adaptive SPARSE partial: this sender touches few
                 # of the target's vertices, so ship (dst, val) pairs
                 # instead of a dense slice — exchange volume follows the
                 # edge structure, not O(P*V) (matters at high partition
                 # counts and on power-law webgraphs)
-                out.append((self._seg_dsts[p], np.add.reduceat(per_edge[s:e], starts)))
+                out.append((self._seg_dsts[p], sums))
                 continue
             acc = np.zeros(psize, dtype=dt)
             if nseg:
-                acc[self._seg_dsts[p]] = np.add.reduceat(per_edge[s:e], starts)
+                acc[self._seg_dsts[p]] = sums
             gs, ge = self._g_route_bounds[p], self._g_route_bounds[p + 1]
             if ge > gs and hub_contrib is not None:
                 acc += np.bincount(
@@ -561,6 +570,17 @@ class ShardCore(WalkMixin):
         self._tri_comp = np.sort(comp)
         self._tri_hash = None  # probe table rebuilt lazily per tri_build
         return int(len(o_dst))
+
+    def tri_build_local(self) -> int:
+        """num_parts==1 path: the single shard owns every vertex, so the
+        degree join collapses to a local lookup (no exchange)."""
+        (ids,) = self.tri_deg_requests()
+        return self.tri_build(self.outdeg_full[ids - self.lo])
+
+    def tri_count_packed(self, packed) -> int:
+        """num_parts==1 path: tri_wedges_chunk returns its 1-tuple packed
+        in a single ref; unpack here instead of num_returns splitting."""
+        return self.tri_count(*packed)
 
     def tri_total_pairs(self) -> int:
         """Total oriented wedge count on this shard; also precomputes the

@@ -61,9 +61,10 @@ class QualityStats:
 
     All kernels are vectorized (pandas C regex counts + one token explode)
     — no per-character python loops. n_digits counts regex \\d (unicode Nd,
-    identical to str.isdigit for all ordinary digits); uppercase counts
-    letters that change under str.upper (exact isupper semantics via a
-    lower/upper comparison over letter tokens)."""
+    identical to str.isdigit for all ordinary digits); uppercase counts the
+    Latin-1 uppercase class [A-ZÀ-ÖØ-Þ] — a deliberate Latin-script
+    heuristic (one C regex pass), NOT full-Unicode isupper; non-Latin
+    scripts contribute 0 to upper_ratio."""
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()

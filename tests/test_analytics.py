@@ -48,7 +48,7 @@ def test_label_propagation_exact(ray_session, v, e, iters):
     assert np.array_equal(got, exp)
 
 
-@pytest.mark.parametrize("v,e,parts", [(30, 120, 3), (150, 1500, 4), (400, 6000, 6)])
+@pytest.mark.parametrize("v,e,parts", [(30, 120, 1), (30, 120, 3), (150, 1500, 4), (400, 6000, 6)])
 def test_triangle_count_exact(ray_session, v, e, parts):
     src, dst = random_edges(v, e, seed=29 + v, undirected=True)
     with Graph.from_arrays(src, dst, num_parts=parts, v_num=v) as g:

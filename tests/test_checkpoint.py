@@ -146,6 +146,19 @@ def test_graph_from_dataset_layout_and_sketch(ray_session, tmp_path):
         assert 11 in g.hub_vids
         assert np.allclose(pagerank(g, max_iters=20, tol=None), exp, atol=1e-9)
 
+    # rerunning into the committed layout REUSES it (no silent append /
+    # edge double-count) and still matches
+    with Graph.from_dataset(ds, num_parts=4, v_num=v, layout_dir=layout) as g:
+        assert g.e_num == len(src)
+        assert np.allclose(pagerank(g, max_iters=20, tol=None), exp, atol=1e-12)
+
+    # a non-empty dir WITHOUT the _SUCCESS sentinel (partial write) refuses
+    os.remove(os.path.join(layout, "_SUCCESS"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_SUCCESS"):
+        Graph.from_dataset(ds, num_parts=4, v_num=v, layout_dir=layout)
+
 
 def test_vertex_dataset_outputs(ray_session):
     """as_dataset=True returns the per-vertex result as a streaming
