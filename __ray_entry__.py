@@ -154,8 +154,13 @@ SELECT v AS partkey, MIN(lab) AS component FROM reach GROUP BY v"""
 
 
 def entry() -> Any:
-    """Flagship: synth pages -> byte-checked extraction -> edge table ->
-    PageRank -> top pages joined back to urls (runs on sf0.001-scale)."""
+    """Flagship, on the SCALE PATH end to end: synth pages -> byte-checked
+    extraction -> edge table (Dataset) -> Graph.from_dataset (routed hive
+    layout, never materialized on the driver) -> PageRank consumed as a
+    per-shard-ref Dataset -> hash-partitioned join back to urls. Only the
+    final O(V)-row result is collected (tiny at sf0.001; at scale, return
+    the Dataset or take a top-k instead)."""
+    import pyarrow as pa
     import ray.data
     from kkray.analytics import pagerank
     from kkray.graph import Graph
@@ -165,14 +170,22 @@ def entry() -> Any:
     pages_tbl, _ = synth_pages(500, seed=42)
     pages = ray.data.from_arrow(pages_tbl)
     edges, url_map = build_edge_table(pages)
-    ep = edges.to_pandas()
-    um = url_map.to_pandas()
-    with Graph.from_arrays(
-        ep["src"].to_numpy(dtype=np.int64), ep["dst"].to_numpy(dtype=np.int64), num_parts=4, v_num=len(um)
-    ) as g:
-        scores = pagerank(g, max_iters=30, tol=1e-10)
-    out = um.sort_values("vid").reset_index(drop=True)
-    out["pagerank"] = scores
+    n_urls = url_map.count()
+    with Graph.from_dataset(edges, num_parts=4, v_num=n_urls) as g:
+        ranks = pagerank(g, max_iters=30, tol=1e-10, as_dataset=True)
+        nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 4))))
+        joined = url_map.join(
+            ranks.map_batches(
+                lambda t: t.rename_columns(["vid", "pagerank"]).cast(
+                    pa.schema([("vid", pa.uint64()), ("pagerank", pa.float64())])
+                ),
+                batch_format="pyarrow",
+            ),
+            "inner",
+            num_partitions=nparts,
+            on=("vid",),
+        )
+        out = joined.select_columns(["url", "vid", "pagerank"]).to_pandas()
     return out.sort_values("pagerank", ascending=False).reset_index(drop=True)
 
 

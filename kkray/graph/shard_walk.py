@@ -36,6 +36,89 @@ from ..utils import rng_for
 _EMPTY = lambda: {"wid": np.empty(0, np.int64), "step": np.empty(0, np.int64), "cur": np.empty(0, np.int64)}
 
 
+def build_alias_tables(indptr: np.ndarray, w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-adjacency-slice Vose alias construction (reference
+    walk.hpp:538-652 builds these in parallel C++; the old per-vertex
+    Python loop was minutes of pure setup at 10^8 edges/shard).
+
+    Exact closed form of the sequential sweep: serve smalls (scaled<1) in
+    slice order from larges (scaled>=1) in slice order; a large keeps its
+    residual when it falls below 1 and is topped up to exactly 1 by the
+    NEXT large. Because every bucket then nets exactly 1, the cumulative
+    mass larges supply to smalls through large j is exactly its excess
+    prefix E_j — so small i's donor is the large whose (E_{j-1}, E_j]
+    interval contains the small's exclusive deficit prefix, and large j's
+    residual is E_j + 1 - (inclusive deficit prefix of the last small it
+    served). Everything reduces to two cumsums + two searchsorteds over
+    ALL slices at once.
+
+    Returns (prob, alias) aligned with the edge arrays: sample a uniform
+    bucket b in the vertex's slice, take b if r2 < prob[b] else alias[b].
+    """
+    E = len(w)
+    prob = np.ones(E, dtype=np.float64)
+    alias = np.arange(E, dtype=np.int64)
+    if E == 0:
+        return prob, alias
+    w = np.asarray(w, dtype=np.float64)
+    deg = np.diff(indptr)
+    nv = len(deg)
+    cw = np.empty(E + 1)
+    cw[0] = 0.0
+    np.cumsum(w, out=cw[1:])
+    ssum = cw[indptr[1:]] - cw[indptr[:-1]]  # per-slice weight total
+    sid = np.repeat(np.arange(nv, dtype=np.int64), deg)
+    # per-slice scale factor (vertex-sized math, one edge-sized gather)
+    nzdeg = deg > 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = np.where(ssum > 0, deg / ssum, 0.0)
+    scaled = w * inv[sid]
+    if np.any(nzdeg & (ssum <= 0)):  # degenerate all-zero-weight slices
+        scaled[inv[sid] == 0.0] = 1.0
+    small = scaled < 1.0
+    # float guard: a slice where rounding made EVERY entry <1 gets its last
+    # edge promoted to large (exact arithmetic guarantees max >= mean = 1)
+    scnt = np.bincount(sid[small], minlength=nv)
+    bad = np.flatnonzero(nzdeg & (scnt == deg))
+    if len(bad):
+        small[indptr[bad + 1] - 1] = False
+        scnt = np.bincount(sid[small], minlength=nv)
+    lcnt = deg - scnt
+    spos = np.flatnonzero(small)
+    lpos = np.flatnonzero(~small)
+    if len(spos) == 0:
+        return prob, alias  # all slices uniform-ish: every bucket keeps 1
+    soff = np.concatenate([[0], np.cumsum(scnt)]).astype(np.int64)
+    loff = np.concatenate([[0], np.cumsum(lcnt)]).astype(np.int64)
+    s_sid = sid[spos]
+    l_sid = sid[lpos]
+    # deficit / excess prefixes (global cumsum; per-slice restart is a
+    # vertex-sized base vector, gathered once per edge-sized array)
+    d0 = np.empty(len(spos) + 1)
+    d0[0] = 0.0
+    np.cumsum(1.0 - scaled[spos], out=d0[1:])
+    e0 = np.empty(len(lpos) + 1)
+    e0[0] = 0.0
+    np.cumsum(scaled[lpos] - 1.0, out=e0[1:])
+    base = e0[loff] - d0[soff]  # per-slice frame shift between the two lines
+    # --- smalls: donor large = first j with E_j > exclusive deficit prefix.
+    # (the base-shifted search value can round just below e0[loff], so both
+    # clamps are needed for float safety)
+    j = np.searchsorted(e0[1:], d0[:-1] + base[s_sid], side="right")
+    j = np.clip(j, loff[s_sid], loff[s_sid + 1] - 1)
+    prob[spos] = scaled[spos]
+    alias[spos] = lpos[j]
+    # --- larges: residual = E_rest + 1 - (incl. deficit prefix of last small
+    # with exclusive prefix < E_rest); alias = next large in the slice
+    cnt = np.searchsorted(d0[:-1], e0[1:] - base[l_sid], side="left")
+    cnt = np.clip(cnt, soff[l_sid], soff[l_sid + 1])
+    sbase = d0[soff[l_sid]]
+    prob[lpos] = np.clip((e0[1:] - e0[loff[l_sid]]) + 1.0 - (d0[cnt] - sbase), 0.0, 1.0)
+    nxt = np.minimum(np.arange(1, len(lpos) + 1, dtype=np.int64), loff[l_sid + 1] - 1)
+    alias[lpos] = lpos[nxt]  # last large of a slice aliases itself
+    return prob, alias
+
+
 def _concat(batches: list[dict]) -> dict:
     if not batches:
         return {}
@@ -60,6 +143,7 @@ class WalkMixin:
         self._nsteps = 0  # walked edges accepted on this shard (bench metric)
         self._frontier: dict = {}
         self._parked = None
+        self._pending = None  # checkpoint-restored in-flight batch (consumed before new incoming)
         kind = spec["kind"]
         if spec.get("weighted"):
             w = self.csr.weights
@@ -110,33 +194,9 @@ class WalkMixin:
         return True
 
     def _build_alias(self, w: np.ndarray):
-        """Per-vertex Vose alias construction (reference walk.hpp:538-652).
-        Python loop over vertices, numpy within each adjacency slice."""
-        E = len(w)
-        prob = np.ones(E, dtype=np.float64)
-        alias = np.arange(E, dtype=np.int64)
-        indptr = self.csr.indptr
-        for v in range(self.csr.size):
-            s, e = indptr[v], indptr[v + 1]
-            d = e - s
-            if d <= 1:
-                continue
-            ww = w[s:e]
-            scaled = ww * (d / ww.sum())
-            small = [i for i in range(d) if scaled[i] < 1.0]
-            large = [i for i in range(d) if scaled[i] >= 1.0]
-            sc = scaled.copy()
-            while small and large:
-                sm = small.pop()
-                lg = large[-1]
-                prob[s + sm] = sc[sm]
-                alias[s + sm] = s + lg
-                sc[lg] -= 1.0 - sc[sm]
-                if sc[lg] < 1.0:
-                    large.pop()
-                    small.append(lg)
-        self._alias_prob = prob
-        self._alias_idx = alias
+        """Alias tables over all adjacency slices in one vectorized pass
+        (see build_alias_tables)."""
+        self._alias_prob, self._alias_idx = build_alias_tables(self.csr.indptr, w)
 
     # ------------------------------------------------------------------ #
     def walk_seed(self, walkers: dict):
@@ -151,6 +211,14 @@ class WalkMixin:
 
     def _take_frontier(self, incoming) -> dict:
         batches = [b for b in incoming if b is not None and len(b.get("wid", ()))]
+        # checkpoint-restored in-flight batch goes right after the frontier
+        # (the position the live refs would have occupied) so the
+        # concatenated arrays — and therefore the positional RNG draws —
+        # are bit-identical to the uninterrupted run
+        if self._pending is not None:
+            if len(self._pending.get("wid", ())):
+                batches.insert(0, self._pending)
+            self._pending = None
         if self._frontier and len(self._frontier.get("wid", ())):
             batches.insert(0, self._frontier)
         self._frontier = {}
@@ -158,30 +226,50 @@ class WalkMixin:
 
     def walk_ingest(self, *incoming) -> int:
         """Merge in-flight walker batches into the frontier WITHOUT
-        stepping — the pre-checkpoint quiesce: after this, the shard's
-        full walk state is (frontier, footprints, finals, nsteps), with
-        nothing in flight. Preserves frontier-first concatenation order so
-        a resumed run replays the keyed RNG streams bit-identically."""
+        stepping. Preserves frontier-first concatenation order so replayed
+        keyed RNG streams stay bit-identical."""
         W = self._take_frontier(incoming)
         self._frontier = W if W else {}
         return int(len(self._frontier.get("wid", ())))
 
-    def walk_ckpt_dump(self):
-        """Serializable walk state: (frontier table, footprint table,
-        finals table, nsteps). Called at a superstep boundary (parked must
-        be drained)."""
+    def walk_ckpt_dump(self, *incoming):
+        """PURE-SNAPSHOT checkpoint: serialize (frontier, in-flight walker
+        batches, footprints, finals, parked proposals) WITHOUT mutating any
+        state — the continuing run is bit-identical to one that never
+        checkpointed. May be called MID-MESH for second-order walks: parked
+        proposals (darts included) dump verbatim, so a resumed run replays
+        the RNG-free respond/stepB half-superstep and lands on exactly the
+        uninterrupted run's trajectory."""
         import pyarrow as pa
 
-        assert self._parked is None, "checkpoint only at superstep boundaries"
         fr = self._frontier if self._frontier else {}
         fr_tbl = pa.table({k: pa.array(np.asarray(v)) for k, v in fr.items()})
+        pend_batches = [b for b in incoming if b is not None and len(b.get("wid", ()))]
+        if self._pending is not None and len(self._pending.get("wid", ())):
+            pend_batches.insert(0, self._pending)  # not yet consumed: keep its slot
+        pend = _concat(pend_batches)
+        pend_tbl = pa.table({k: pa.array(np.asarray(v)) for k, v in pend.items()}) if pend else pa.table({})
         w, s, v = self.walk_footprints()
         fp_tbl = pa.table({"wid": pa.array(w), "step": pa.array(s), "vertex": pa.array(v)})
         fw, fs, fstate = self.walk_final_states()
         fin_tbl = pa.table({"wid": pa.array(fw), "step": pa.array(fs), "wstate": pa.array(fstate)})
-        return {"frontier": fr_tbl, "footprints": fp_tbl, "finals": fin_tbl}, self._nsteps
+        pk = self._parked
+        if pk is not None:
+            pk_tbl = pa.table({k: pa.array(pk[k]) for k in ("wid", "step", "cur", "prev", "cand", "dart")})
+        else:
+            pk_tbl = pa.table({})
+        return {
+            "frontier": fr_tbl,
+            "pending": pend_tbl,
+            "footprints": fp_tbl,
+            "finals": fin_tbl,
+            "parked": pk_tbl,
+        }, self._nsteps
 
-    def walk_ckpt_restore(self, tables: dict, nsteps: int) -> bool:
+    def walk_ckpt_restore(self, tables: dict, nsteps: int) -> tuple:
+        """Restore walk state; returns (frontier+pending rows, parked rows)
+        so the driver can rebuild its active set and knows whether to
+        replay the respond/stepB half-superstep."""
         fr = tables["frontier"]
         if fr.num_rows or fr.num_columns:
             self._frontier = {
@@ -189,6 +277,12 @@ class WalkMixin:
             }
         else:
             self._frontier = {}
+        self._pending = None
+        pend = tables.get("pending")
+        if pend is not None and pend.num_rows:
+            self._pending = {
+                name: pend.column(name).to_numpy(zero_copy_only=False).copy() for name in pend.column_names
+            }
         fp = tables["footprints"]
         self._fp = (
             [tuple(fp.column(c).to_numpy(zero_copy_only=False).copy() for c in ("wid", "step", "vertex"))]
@@ -203,7 +297,19 @@ class WalkMixin:
         )
         self._nsteps = int(nsteps)
         self._parked = None
-        return True
+        work = int(len(self._frontier.get("wid", ()))) + (
+            int(len(self._pending.get("wid", ()))) if self._pending else 0
+        )
+        pk = tables.get("parked")
+        if pk is not None and pk.num_rows:
+            cols = {c: pk.column(c).to_numpy(zero_copy_only=False).copy() for c in pk.column_names}
+            # rows were dumped sorted by part(prev); recompute the bucket
+            # bounds rather than serializing them
+            ppart = part_of(cols["prev"], self.boundaries)
+            cols["bounds"] = np.searchsorted(ppart, np.arange(self.num_parts + 1))
+            self._parked = cols
+            return work, int(pk.num_rows)
+        return work, 0
 
     def _sample(self, cur_local: np.ndarray, rng) -> np.ndarray:
         """Candidate CSR positions ~ static component."""
@@ -375,10 +481,15 @@ class WalkMixin:
         spec = self._wspec
         W = self._take_frontier(incoming)
         P = self.num_parts
+        zeros = [0] * P
         if not W:
             empty_q = [{"prev": np.empty(0, np.int64), "cand": np.empty(0, np.int64)} for _ in range(P)]
             self._parked = None
-            return (*[_EMPTY() for _ in range(P)], *empty_q, {"moved": 0, "parked": 0, "local": 0})
+            return (
+                *[_EMPTY() for _ in range(P)],
+                *empty_q,
+                {"moved": 0, "parked": 0, "local": 0, "sizes": zeros, "qsizes": zeros},
+            )
         wid, step, cur, prev = W["wid"], W["step"], W["cur"], W["prev"]
         rng = rng_for(self._wseed, self.part_id + self.seed, superstep, 0)
         cur_local = cur - self.lo
@@ -387,7 +498,7 @@ class WalkMixin:
         wid, step, cur, prev = wid[alive], step[alive], cur[alive], prev[alive]
         cur_local = cur - self.lo
         n = len(wid)
-        counts = {"moved": 0, "parked": 0, "local": 0}
+        counts = {"moved": 0, "parked": 0, "local": 0, "sizes": zeros, "qsizes": zeros}
         if n == 0:
             self._parked = None
             return (
@@ -415,12 +526,13 @@ class WalkMixin:
         inv_p, inv_q = 1.0 / spec["p"], 1.0 / spec["q"]
         ub2 = max(1.0, inv_q)
         overflow = inv_p - ub2
-        use_app = (not spec.get("weighted")) and overflow > 0
+        use_app = overflow > 0
+        weighted = bool(spec.get("weighted"))
         rnd = 0
         while n and rnd < RETRY:
             rng = rng_for(self._wseed, self.part_id + self.seed, superstep, rnd + 1)
             cur_local = cur - self.lo
-            if use_app:
+            if use_app and not weighted:
                 degf = self.outdeg[cur_local].astype(np.float64)
                 ovf = np.where(prev >= 0, overflow, 0.0)  # no return edge at step 0
                 r = rng.random(n) * (degf * ub2 + ovf)
@@ -436,6 +548,50 @@ class WalkMixin:
                     # the edge cur->prev actually exists
                     cand[in_app] = prev[in_app]
                     accept[in_app] = self.csr.contains_edges(cur_local[in_app], prev[in_app])
+                    resolved[in_app] = True
+            elif use_app and weighted:
+                # weighted outlier-appendix (reference node2vec.hpp:66-84):
+                # appendix area = w(cur->prev) * (1/p - ub2), located via
+                # the composite-key searchsorted (the reference's
+                # lower_bound on the dst-sorted adjacency) — gives the edge
+                # INDEX so its weight can be read, unlike the hash probe.
+                base = self.csr.indptr[cur_local]
+                end = self.csr.indptr[cur_local + 1]
+                wlo = self._wext[base]
+                wtot = self._wext[end] - wlo
+                w_ret = np.zeros(n)
+                hasprev = prev >= 0
+                if hasprev.any():
+                    comp = self.csr._composite()
+                    keys = (cur_local[hasprev].astype(np.uint64) << np.uint64(32)) | prev[
+                        hasprev
+                    ].astype(np.uint64)
+                    pos_r = np.minimum(np.searchsorted(comp, keys), len(comp) - 1)
+                    found = comp[pos_r] == keys
+                    wr = np.zeros(int(hasprev.sum()))
+                    wr[found] = self.csr.weights[pos_r[found]]
+                    w_ret[hasprev] = wr
+                area = wtot * ub2
+                r = rng.random(n) * (area + w_ret * overflow)
+                in_app = r >= area
+                # regular area: ONE draw yields (candidate ~ static weight,
+                # height uniform in [0, ub2)) — t = r/ub2 in cumulative
+                # weight space, residual normalized by the edge weight
+                target = wlo + np.minimum(r / ub2, np.nextafter(wtot, 0.0))
+                pos = np.searchsorted(self._wext, target, side="right") - 1
+                pos = np.clip(pos, base, end - 1)
+                cand = self.csr.indices[pos]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    dart = (r - (self._wext[pos] - wlo) * ub2) / self.csr.weights[pos]
+                dart = np.clip(dart, 0.0, ub2)
+                accept, resolved = self._n2v_resolve(prev, cand, dart)
+                if in_app.any():
+                    # appendix mass exists only when the return edge does
+                    # (w_ret > 0), so acceptance is unconditional; total
+                    # return mass = w_ret*ub2 (always-accepted regular area,
+                    # dart < ub2 <= 1/p) + w_ret*(1/p - ub2) = w_ret/p
+                    cand[in_app] = prev[in_app]
+                    accept[in_app] = True
                     resolved[in_app] = True
             else:
                 pos = self._sample(cur_local, rng)
@@ -483,6 +639,11 @@ class WalkMixin:
             out, moved = [_EMPTY() | {"prev": np.empty(0, np.int64)} for _ in range(P)], 0
         counts["moved"] = moved
         counts["local"] = int(len(self._frontier.get("wid", ())))
+        # per-target sizes let the driver prune the respond/stepB mesh to
+        # the shards that actually hold queries or walkers (the reference's
+        # light mode applied to second order, constants.hpp:41)
+        counts["sizes"] = [int(len(o["wid"])) for o in out]
+        counts["qsizes"] = [int(len(q["prev"])) for q in qbatches]
         return (*out, *qbatches, counts)
 
     def _n2v_ub(self) -> float:
@@ -587,21 +748,46 @@ class WalkMixin:
             out.append(self.csr.contains_edges(prev - self.lo, cand))
         return tuple(out)
 
+    def n2v_respond_one(self, qb):
+        """Single-origin respond (num_returns=1 would leave the 1-tuple
+        packed — same hazard as the P=1 triangle exchange)."""
+        return self.n2v_respond(qb)[0]
+
+    def n2v_queries(self):
+        """Re-derive the per-owner membership query batches from parked
+        state (mid-mesh resume: respond/stepB are RNG-free, so replaying
+        them from a restored parked table is bit-identical)."""
+        P = self.num_parts
+        out = [{"prev": np.empty(0, np.int64), "cand": np.empty(0, np.int64)} for _ in range(P)]
+        if self._parked is not None:
+            b = self._parked["bounds"]
+            for p in range(P):
+                out[p] = {
+                    "prev": self._parked["prev"][b[p] : b[p + 1]],
+                    "cand": self._parked["cand"][b[p] : b[p + 1]],
+                }
+        return tuple(out)
+
     def n2v_stepB(self, *responses):
         """Resolve parked walkers with membership responses (accept round,
-        reference walk.hpp:1326-1379)."""
+        reference walk.hpp:1326-1379). Responses arrive in ascending owner
+        order; owners with empty query buckets may be omitted entirely
+        (their buckets contribute zero rows to the concatenation)."""
         P = self.num_parts
         pk = self._parked
         self._parked = None
         if pk is None:
-            return (*[_EMPTY() | {"prev": np.empty(0, np.int64)} for _ in range(P)], {"moved": 0, "local": int(len(self._frontier.get("wid", ())))})
+            return (
+                *[_EMPTY() | {"prev": np.empty(0, np.int64)} for _ in range(P)],
+                {"moved": 0, "local": int(len(self._frontier.get("wid", ()))), "sizes": [0] * P},
+            )
         member = np.concatenate([np.asarray(r) for r in responses]) if responses else np.empty(0, bool)
         inv_q = 1.0 / self._wspec["q"]
         dyn = np.where(member, 1.0, inv_q)
         accept = pk["dart"] <= dyn
         resolved = np.ones(len(accept), dtype=bool)
         out, moved, local = self._n2v_apply(pk["wid"], pk["step"], pk["cur"], pk["prev"], pk["cand"], accept, resolved)
-        return (*out, {"moved": moved, "local": local})
+        return (*out, {"moved": moved, "local": local, "sizes": [int(len(o["wid"])) for o in out]})
 
     # ------------------------------------------------------------------ #
     def walk_steps_taken(self) -> int:

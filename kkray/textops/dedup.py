@@ -77,6 +77,79 @@ def _shingles(text: str, n: int) -> set:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
+def _shingle_token_hashes(texts: pd.Series, n: int):
+    """Shared vectorized shingle-hash kernel (used by MinHasher AND the
+    pair verifier so both see identical shingle identities): ONE C-level
+    token explode, per-token siphash, shifted-array combine of n
+    consecutive token hashes masked at doc boundaries, short-doc rule as in
+    ``_shingles``. Returns (shingle_hashes, doc_of, valid_mask, n_words);
+    empty input returns None."""
+    from ..utils import splitmix64 as _mix
+
+    split = texts.str.split()
+    n_words = split.str.len().to_numpy().astype(np.int64)
+    ex = split.explode().dropna()
+    if not len(ex):
+        return None
+    tok_h = pd.util.hash_pandas_object(ex, index=False).to_numpy()
+    doc_of = ex.index.to_numpy().astype(np.int64)
+    with np.errstate(over="ignore"):
+        sh = tok_h.copy()
+        for k in range(1, n):
+            shifted = np.empty_like(tok_h)
+            shifted[: len(tok_h) - k] = tok_h[k:]
+            shifted[len(tok_h) - k :] = 0
+            sh = _mix(sh ^ (shifted + np.uint64(0x9E3779B97F4A7C15)))
+    # shingle i is valid if tokens i..i+n-1 are in the SAME doc; docs
+    # shorter than n keep their single all-token shingle
+    last_ok = np.empty(len(tok_h), dtype=bool)
+    if n > 1:
+        last_ok[: len(tok_h) - (n - 1)] = doc_of[: len(tok_h) - (n - 1)] == doc_of[n - 1 :]
+        last_ok[len(tok_h) - (n - 1) :] = False
+    else:
+        last_ok[:] = True
+    starts_all = np.concatenate(([0], np.cumsum(n_words)))
+    short = np.flatnonzero((n_words > 0) & (n_words < n))
+    for d in short:  # rare rows only
+        s, e = starts_all[d], starts_all[d + 1]
+        h = tok_h[s]
+        with np.errstate(over="ignore"):
+            for t in tok_h[s + 1 : e]:
+                h = _mix(h ^ (t + np.uint64(0x9E3779B97F4A7C15)))
+        sh[s] = h
+        last_ok[s] = True
+    return sh, doc_of, last_ok, n_words
+
+
+def _shingle_hash_sets(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row UNIQUE shingle-hash sets, flat + offsets (sorted within each
+    row's segment) — the vectorized replacement for per-pair Python
+    ``_shingles`` sets in Jaccard verification."""
+    texts = texts.fillna("").reset_index(drop=True)
+    m = len(texts)
+    r = _shingle_token_hashes(texts, n)
+    if r is None:
+        return np.empty(0, np.uint64), np.zeros(m + 1, np.int64)
+    sh, doc_of, last_ok, _ = r
+    sh_v, doc_v = sh[last_ok], doc_of[last_ok]
+    order = np.lexsort((sh_v, doc_v))
+    sh_v, doc_v = sh_v[order], doc_v[order]
+    keep = np.concatenate(([True], (doc_v[1:] != doc_v[:-1]) | (sh_v[1:] != sh_v[:-1])))
+    sh_u, doc_u = sh_v[keep], doc_v[keep]
+    offsets = np.concatenate(([0], np.cumsum(np.bincount(doc_u, minlength=m)))).astype(np.int64)
+    return sh_u, offsets
+
+
+def _ragged_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenation of arange(starts[i], starts[i]+lens[i]) — the standard
+    repeat/cumsum ragged-range construction."""
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.empty(0, np.int64)
+    cl = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return np.arange(tot, dtype=np.int64) - np.repeat(cl, lens) + np.repeat(starts, lens)
+
+
 class MinHasher:
     """map_batches stage: documents -> exploded (band, band_hash, doc_id)."""
 
@@ -94,51 +167,13 @@ class MinHasher:
         # (shifted-array combine, masked at doc boundaries), then per-doc
         # segment minima of the (num_perm x shingles) permutation values
         # via minimum.reduceat — no python loop over tokens or shingles.
-        from ..utils import splitmix64 as _mix
-
         texts = df["text"].fillna("").reset_index(drop=True)
         ids_in = df["doc_id"].to_numpy()
         n_docs = len(texts)
-        split = texts.str.split()
-        n_words = split.str.len().to_numpy().astype(np.int64)
-        ex = split.explode().dropna()
         sigs = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-        if len(ex):
-            tok_h = pd.util.hash_pandas_object(ex, index=False).to_numpy()
-            doc_of = ex.index.to_numpy().astype(np.int64)
-            # combine n consecutive token hashes into shingle hashes
-            with np.errstate(over="ignore"):
-                sh = tok_h.copy()
-                for k in range(1, self.n):
-                    shifted = np.empty_like(tok_h)
-                    shifted[: len(tok_h) - k] = tok_h[k:]
-                    shifted[len(tok_h) - k :] = 0
-                    sh = _mix(sh ^ (shifted + np.uint64(0x9E3779B97F4A7C15)))
-            # shingle i is valid if tokens i..i+n-1 are in the SAME doc;
-            # docs shorter than n keep their single all-token shingle
-            # (matching _shingles' short-doc rule)
-            last_ok = np.empty(len(tok_h), dtype=bool)
-            if self.n > 1:
-                last_ok[: len(tok_h) - (self.n - 1)] = (
-                    doc_of[: len(tok_h) - (self.n - 1)] == doc_of[self.n - 1 :]
-                )
-                last_ok[len(tok_h) - (self.n - 1) :] = False
-            else:
-                last_ok[:] = True
-            # short docs: their first token position carries the whole-doc
-            # shingle hash (mix of all their tokens happens to be what the
-            # shifted combine computed only when the doc has >= n tokens;
-            # recompute the short-doc hash as the mix over its tokens)
-            starts_all = np.concatenate(([0], np.cumsum(n_words)))
-            short = np.flatnonzero((n_words > 0) & (n_words < self.n))
-            for d in short:  # rare rows only
-                s, e = starts_all[d], starts_all[d + 1]
-                h = tok_h[s]
-                with np.errstate(over="ignore"):
-                    for t in tok_h[s + 1 : e]:
-                        h = _mix(h ^ (t + np.uint64(0x9E3779B97F4A7C15)))
-                sh[s] = h
-                last_ok[s] = True
+        r = _shingle_token_hashes(texts, self.n)
+        if r is not None:
+            sh, doc_of, last_ok, _ = r
             base = sh[last_ok]
             doc_sel = doc_of[last_ok]
             if len(base):
@@ -190,33 +225,62 @@ def minhash_lsh_pairs(
     n = shingle_n
 
     def jaccard_rows(a_ids, b_ids, text_a, text_b) -> pd.DataFrame:
-        jac = np.empty(len(a_ids), dtype=np.float64)
-        for i, (ta, tb) in enumerate(zip(text_a, text_b)):
-            sa, sb = _shingles(ta or "", n), _shingles(tb or "", n)
-            u = len(sa | sb)
-            jac[i] = len(sa & sb) / u if u else 1.0
+        """Vectorized exact n-gram Jaccard over a whole pair batch: unique
+        shingle-HASH sets built once per distinct doc in the batch (hot
+        templates appear in many pairs), pair rows gathered with ragged
+        aranges, intersections counted by ONE (pair, hash) lexsort +
+        adjacent-duplicate detection — no Python loop over pairs or
+        shingles. Hash-set Jaccard equals string-set Jaccard except under
+        64-bit collisions (~0 at any batch size)."""
+        npair = len(a_ids)
+        if npair == 0:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        a_ids = np.asarray(a_ids, dtype=np.int64)
+        b_ids = np.asarray(b_ids, dtype=np.int64)
+        all_ids = np.concatenate([a_ids, b_ids])
+        all_txt = pd.concat(
+            [pd.Series(text_a).reset_index(drop=True), pd.Series(text_b).reset_index(drop=True)],
+            ignore_index=True,
+        )
+        uniq, first, inv = np.unique(all_ids, return_index=True, return_inverse=True)
+        sh, off = _shingle_hash_sets(all_txt.iloc[first], n)
+        ua, ub = inv[:npair], inv[npair:]
+        lens = off[1:] - off[:-1]
+        la, lb = lens[ua], lens[ub]
+        tot = la + lb
+        starts_pair = np.concatenate(([0], np.cumsum(tot)[:-1]))
+        flat = np.empty(int(tot.sum()), dtype=np.uint64)
+        flat[_ragged_arange(starts_pair, la)] = sh[_ragged_arange(off[ua], la)]
+        flat[_ragged_arange(starts_pair + la, lb)] = sh[_ragged_arange(off[ub], lb)]
+        pid = np.repeat(np.arange(npair, dtype=np.int64), tot)
+        order = np.lexsort((flat, pid))
+        f, p = flat[order], pid[order]
+        dup = (p[1:] == p[:-1]) & (f[1:] == f[:-1])
+        inter = np.bincount(p[1:][dup], minlength=npair)
+        union = tot - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         out = pd.DataFrame({"a": a_ids, "b": b_ids, "jaccard": jac})
         return out[out["jaccard"] >= threshold]
 
     n_docs = docs.count()
     if n_docs <= verify_broadcast_limit:
-        tref = ray.put(
-            {
-                int(i): t
-                for tbl in ray.get(docs.select_columns(["doc_id", "text"]).to_arrow_refs())
-                for i, t in zip(
-                    tbl.column("doc_id").to_numpy(zero_copy_only=False), tbl.column("text").to_pylist()
-                )
-            }
-        )
+        # small-side broadcast: the doc_id -> text map is assembled inside
+        # a TASK (refs resolve in the object store) — the driver never
+        # touches the texts
+        @ray.remote
+        def gather_texts(*tables):
+            t = pa.concat_tables([tb for tb in tables if tb.num_rows])
+            return dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+        tref = gather_texts.remote(*docs.select_columns(["doc_id", "text"]).to_arrow_refs())
 
         class Verify:
             def __init__(self):
                 self.texts = ray.get(tref)
 
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                ta = [self.texts.get(int(x), "") for x in df["a"]]
-                tb = [self.texts.get(int(x), "") for x in df["b"]]
+                ta = df["a"].map(self.texts).fillna("")
+                tb = df["b"].map(self.texts).fillna("")
                 return jaccard_rows(df["a"].to_numpy(), df["b"].to_numpy(), ta, tb)
 
         return cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
@@ -356,12 +420,18 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Data
     sigs = docs.map_batches(SimHasher(), batch_format="pandas", concurrency=8).select_columns(["doc_id", "simhash"])
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for did, s in zip(df["doc_id"], df["simhash"]):
-            s = np.uint64(s)
-            for c in range(4):
-                rows.append((c, int((s >> np.uint64(16 * c)) & np.uint64(0xFFFF)), did, int(s)))
-        return pd.DataFrame(rows, columns=["chunk", "chunk_val", "doc_id", "simhash"])
+        s = df["simhash"].to_numpy(dtype=np.uint64)
+        did = df["doc_id"].to_numpy()
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        vals = ((s[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "chunk": np.tile(np.arange(4, dtype=np.int64), len(s)),
+                "chunk_val": vals.ravel(),
+                "doc_id": np.repeat(did, 4),
+                "simhash": np.repeat(s, 4),
+            }
+        )
 
     exploded = sigs.map_batches(explode, batch_format="pandas")
     from ..ops import bucket_pairs

@@ -131,13 +131,15 @@ def random_walk(
     if getattr(graph, "replicated", False):
         return _run_replicated(graph, wspec, spec, seed, return_dataset)
     start_ss = 0
+    resume_info = None
     if resume and checkpoint is not None and (last := checkpoint.latest_complete()) is not None:
-        # resume mid-walk: restore (frontier, footprints, finals, nsteps)
-        # per shard and continue at the saved superstep counter — the keyed
-        # Philox streams make the continuation bit-identical to the
-        # uninterrupted run
+        # resume mid-walk: restore (frontier, pending in-flight batches,
+        # footprints, finals, parked proposals, nsteps) per shard and
+        # continue at the saved superstep counter — the keyed Philox
+        # streams and the pure-snapshot dump make the continuation
+        # bit-identical to the uninterrupted run
         parts, man = checkpoint.load_tables(last)
-        ray.get(
+        resume_info = ray.get(
             [
                 a.walk_ckpt_restore.remote(t, n)
                 for a, t, n in zip(actors, parts, man["metrics"]["nsteps"])
@@ -165,9 +167,9 @@ def random_walk(
         ray.get([a.walk_seed.remote(s) for a, s in zip(actors, seeds)])
 
     if spec["kind"] == "node2vec":
-        _drive_second_order(actors, P, checkpoint, checkpoint_every, start_ss, max_supersteps)
+        _drive_second_order(actors, P, checkpoint, checkpoint_every, start_ss, max_supersteps, resume_info)
     else:
-        _drive_first_order(actors, P, checkpoint, checkpoint_every, start_ss, max_supersteps)
+        _drive_first_order(actors, P, checkpoint, checkpoint_every, start_ss, max_supersteps, resume_info)
 
     # footprints stay in the object store: one arrow-table ref per shard,
     # never concatenated on the driver (reference path.hpp:164-250 shuffle)
@@ -219,28 +221,35 @@ def _run_replicated(graph, wspec: WalkerSpec, spec: dict, seed: int, return_data
 
 
 def _ckpt_walk(actors, checkpoint, incoming, P, next_superstep):
-    """Quiesce (deliver in-flight batches into frontiers) + dump + commit.
-    Returns the cleared incoming lists."""
-    ray.get([a.walk_ingest.remote(*incoming[p]) for p, a in enumerate(actors)])
-    dumps = ray.get([a.walk_ckpt_dump.remote() for a in actors])
+    """PURE-SNAPSHOT checkpoint: each shard dumps (frontier + the in-flight
+    batches addressed to it + footprints + finals + parked proposals)
+    without mutating anything — the continuing run is bit-identical to a
+    run that never checkpointed; a resumed run re-injects the dumped
+    batches (shard-side ``_pending``) and, for second-order walks, replays
+    the RNG-free respond/stepB half-superstep from the parked table."""
+    dumps = ray.get([a.walk_ckpt_dump.remote(*incoming[p]) for p, a in enumerate(actors)])
     checkpoint.save_tables(
         next_superstep,
         [d[0] for d in dumps],
         metrics={"nsteps": [int(d[1]) for d in dumps]},
         lineage={"op": "walk", "next_superstep": int(next_superstep), "num_parts": P},
     )
-    return [[] for _ in range(P)]
 
 
-def _drive_first_order(actors, P, checkpoint=None, checkpoint_every=5, start_ss=0, max_supersteps=MAX_SUPERSTEPS):
+def _drive_first_order(
+    actors, P, checkpoint=None, checkpoint_every=5, start_ss=0, max_supersteps=MAX_SUPERSTEPS, resume_info=None
+):
     superstep = start_ss
     incoming: list[list] = [[] for _ in range(P)]
     # small-frontier fast path (the reference's light mode): per-target
     # emigrant sizes returned by walk_step let each round touch ONLY the
     # shards that actually hold walkers — geometric/PPR tails with a
     # handful of live walkers cost O(active shards) calls, not O(P^2)
-    active = set(range(P))
-    while superstep < max_supersteps:
+    if resume_info is not None:
+        active = {p for p, (work, _) in enumerate(resume_info) if work}
+    else:
+        active = set(range(P))
+    while superstep < max_supersteps and active:
         targets = sorted(active)
         refs = {
             p: actors[p].walk_step.options(num_returns=P + 1).remote(superstep, *incoming[p])
@@ -257,45 +266,104 @@ def _drive_first_order(actors, P, checkpoint=None, checkpoint_every=5, start_ss=
                     active.add(q)
         superstep += 1
         if checkpoint is not None and moved and superstep % checkpoint_every == 0:
-            incoming = _ckpt_walk(actors, checkpoint, incoming, P, superstep)
-            active = set(range(P))
+            _ckpt_walk(actors, checkpoint, incoming, P, superstep)
         if moved == 0:
             break
 
 
-def _drive_second_order(actors, P, checkpoint=None, checkpoint_every=5, start_ss=0, max_supersteps=MAX_SUPERSTEPS):
+def _drive_second_order(
+    actors, P, checkpoint=None, checkpoint_every=5, start_ss=0, max_supersteps=MAX_SUPERSTEPS, resume_info=None
+):
+    """Pruned three-phase superstep mesh (the reference's light mode applied
+    to second order, constants.hpp:41 / walk.hpp:1134): stepA runs only on
+    shards with walkers or incoming batches, respond only on owners that
+    actually received queries, stepB only on shards that parked — a
+    long-tail node2vec run with three live walkers costs O(active) calls,
+    not O(P^2) per superstep."""
     superstep = start_ss
     incoming: list[list] = [[] for _ in range(P)]
-    while superstep < max_supersteps:
-        ra = [
-            a.n2v_stepA.options(num_returns=2 * P + 1).remote(superstep, *incoming[p])
-            for p, a in enumerate(actors)
-        ]
-        counts_a = ray.get([r[2 * P] for r in ra])
-        # query exchange: actor q's query batch for part p is ra[q][P+p]
-        rr = [
-            a.n2v_respond.options(num_returns=P).remote(*[ra[q][P + p] for q in range(P)])
-            for p, a in enumerate(actors)
-        ]
-        # responses for origin q from target p: rr[p][q]
-        rb = [
-            a.n2v_stepB.options(num_returns=P + 1).remote(*[rr[p][q] for p in range(P)])
-            for q, a in enumerate(actors)
-        ]
-        counts_b = ray.get([r[P] for r in rb])
-        # next-superstep walker batches: emigrants from stepA and stepB
-        incoming = [
-            [ra[q][p] for q in range(P)] + [rb[q][p] for q in range(P)] for p in range(P)
-        ]
-        active = (
-            sum(c["moved"] for c in counts_a)
-            + sum(c["moved"] + c["local"] for c in counts_b)
-        )
+    if resume_info is not None:
+        active = {p for p, (work, _) in enumerate(resume_info) if work}
+        if P > 1 and any(pk for _, pk in resume_info):
+            # the checkpoint landed mid-mesh: replay the RNG-free
+            # respond/stepB half-superstep from the restored parked state
+            rq = [a.n2v_queries.options(num_returns=P).remote() for a in actors]
+            rr = [
+                actors[p].n2v_respond.options(num_returns=P).remote(*[rq[q][p] for q in range(P)])
+                for p in range(P)
+            ]
+            rb = [
+                actors[q].n2v_stepB.options(num_returns=P + 1).remote(*[rr[p][q] for p in range(P)])
+                for q in range(P)
+            ]
+            counts_b = ray.get([r[P] for r in rb])
+            for q, c in enumerate(counts_b):
+                if c["local"]:
+                    active.add(q)
+                for t, sz in enumerate(c["sizes"]):
+                    if sz:
+                        incoming[t].append(rb[q][t])
+                        active.add(t)
+    else:
+        active = set(range(P))
+    while superstep < max_supersteps and active:
+        targets = sorted(active)
+        ra = {
+            p: actors[p].n2v_stepA.options(num_returns=2 * P + 1).remote(superstep, *incoming[p])
+            for p in targets
+        }
+        counts_a = {p: c for p, c in zip(targets, ray.get([ra[p][2 * P] for p in targets]))}
+        incoming = [[] for _ in range(P)]
+        if checkpoint is not None and (superstep + 1) % checkpoint_every == 0:
+            # mid-mesh snapshot (between stepA and stepB): in-flight stepA
+            # emigrants + parked proposals dump verbatim; the mesh then
+            # continues untouched, so the walk itself never notices
+            pend = [[] for _ in range(P)]
+            for p in targets:
+                for t, sz in enumerate(counts_a[p]["sizes"]):
+                    if sz:
+                        pend[t].append(ra[p][t])
+            _ckpt_walk(actors, checkpoint, pend, P, superstep + 1)
+        # membership-query exchange: only queried owners respond, only over
+        # the nonzero query batches (actor q's query batch for owner o is
+        # ra[q][P+o]); responses route back keyed (owner, origin)
+        by_owner: dict[int, list[int]] = {}
+        for p in targets:
+            for o, sz in enumerate(counts_a[p]["qsizes"]):
+                if sz:
+                    by_owner.setdefault(o, []).append(p)
+        resp: dict = {}
+        for o, origins in sorted(by_owner.items()):
+            if len(origins) == 1:
+                resp[(o, origins[0])] = actors[o].n2v_respond_one.remote(ra[origins[0]][P + o])
+            else:
+                rr = actors[o].n2v_respond.options(num_returns=len(origins)).remote(
+                    *[ra[p][P + o] for p in origins]
+                )
+                for jj, p in enumerate(origins):
+                    resp[(o, p)] = rr[jj]
+        # stepB only on shards that parked; responses in ascending owner
+        # order (empty buckets contribute zero rows to the concatenation)
+        parked = [p for p in targets if counts_a[p]["parked"]]
+        rb = {}
+        for q in parked:
+            owners = [o for o, sz in enumerate(counts_a[q]["qsizes"]) if sz]
+            rb[q] = actors[q].n2v_stepB.options(num_returns=P + 1).remote(*[resp[(o, q)] for o in owners])
+        counts_b = {q: c for q, c in zip(parked, ray.get([rb[q][P] for q in parked]))}
+        # next-superstep work: local frontiers + emigrants from both phases
+        active = {p for p in targets if counts_a[p]["local"] and p not in counts_b}
+        active |= {q for q, c in counts_b.items() if c["local"]}
+        for p in targets:
+            for t, sz in enumerate(counts_a[p]["sizes"]):
+                if sz:
+                    incoming[t].append(ra[p][t])
+                    active.add(t)
+        for q in parked:
+            for t, sz in enumerate(counts_b[q]["sizes"]):
+                if sz:
+                    incoming[t].append(rb[q][t])
+                    active.add(t)
         superstep += 1
-        if checkpoint is not None and active and superstep % checkpoint_every == 0:
-            incoming = _ckpt_walk(actors, checkpoint, incoming, P, superstep)
-        if active == 0:
-            break
 
 
 def _assemble_block(t: pa.Table) -> pa.Table:

@@ -114,6 +114,46 @@ def test_walk_checkpoint_resume_node2vec(ray_session, tmp_path):
     assert all(a == b for a, b in zip(full["path"], resumed["path"]))
 
 
+def test_walk_checkpoint_mid_mesh_node2vec(ray_session, tmp_path):
+    """Second-order checkpoints land BETWEEN stepA and stepB (mid-mesh):
+    the dump carries the parked proposals (darts included) and the
+    in-flight stepA emigrant batches, the walk itself is untouched (pure
+    snapshot), and a killed run resumes bit-identically — including the
+    RNG-free respond/stepB half-superstep replayed from the parked table."""
+    from kkray.ckpt import CheckpointManager
+    from kkray.walk.engine import random_walk
+    from kkray.walk.spec import Node2vecSpec, WalkerSpec
+
+    v = 40
+    src, dst = random_edges(v, 260, seed=15, undirected=True)
+    ws = WalkerSpec(100, "equal")
+    ts = Node2vecSpec(p=0.5, q=4.0, length=12)  # heavy parking: remote prev + wide (lo2,hi2]
+    with Graph.from_arrays(src, dst, num_parts=4, v_num=v) as g:
+        full = _paths_df(random_walk(g, ws, ts, seed=21))
+    ck = CheckpointManager(str(tmp_path), "n2v_mid")
+    with Graph.from_arrays(src, dst, num_parts=4, v_num=v) as g:
+        random_walk(g, ws, ts, seed=21, checkpoint=ck, checkpoint_every=2, max_supersteps=5)
+    last = ck.latest_complete()
+    assert last is not None
+    # prove the checkpoint really landed mid-mesh with walkers parked
+    found_parked = False
+    for it in range(last + 1):
+        try:
+            parts, _ = ck.load_tables(it)
+        except Exception:
+            continue
+        for t in parts:
+            pk = t.get("parked")
+            if pk is not None and pk.num_rows:
+                found_parked = True
+                assert "dart" in pk.column_names
+    assert found_parked, "no checkpoint captured parked walkers — test graph too easy"
+    with Graph.from_arrays(src, dst, num_parts=4, v_num=v) as g:
+        resumed = _paths_df(random_walk(g, ws, ts, seed=21, checkpoint=ck, resume=True))
+    assert list(full["walker_id"]) == list(resumed["walker_id"])
+    assert all(a == b for a, b in zip(full["path"], resumed["path"]))
+
+
 def test_graph_from_dataset_layout_and_sketch(ray_session, tmp_path):
     """The distributed build: routed hive layout on disk (one dir per
     partition, resumable artifact), sampled-quantile boundaries above

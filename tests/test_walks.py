@@ -151,6 +151,83 @@ def test_node2vec_second_order_matrix(ray_session, p_, q_):
     assert checked >= 5
 
 
+@_pytest.mark.parametrize("p_,q_", [(0.25, 2.0), (2.0, 0.5)])
+def test_node2vec_weighted_second_order_matrix(ray_session, p_, q_):
+    """Weighted second-order walks: (0.25, 2.0) has 1/p > max(1, 1/q) and
+    exercises the WEIGHTED outlier-appendix (reference node2vec.hpp:66-84 —
+    appendix area w(cur->prev) * (1/p - ub2), return edge located by the
+    composite-key lower_bound); (2.0, 0.5) exercises the folded-bound
+    weighted path. Either way the sampled distribution must match the
+    exact w(v,x)*alpha_pq(u,x) transition matrix."""
+    v, e = 18, 60
+    src, dst = random_edges(v, e, seed=33, undirected=True)
+    w = _weights_for(src, dst, 34)
+    wmap = {(int(a), int(b)): float(ww) for a, b, ww in zip(src, dst, w)}
+    nbrs = [set() for _ in range(v)]
+    for a, b in zip(src, dst):
+        nbrs[a].add(b)
+    with Graph.from_arrays(src, dst, weight=w, num_parts=3, v_num=v) as g:
+        paths = paths_to_numpy(
+            node2vec(g, walker_num=20000, p=p_, q=q_, length=6, weighted=True, seed=39)
+        )
+    counts: dict = {}
+    for pth in paths.values():
+        for i in range(len(pth) - 2):
+            u, vv, x = int(pth[i]), int(pth[i + 1]), int(pth[i + 2])
+            counts.setdefault((u, vv), {}).setdefault(x, 0)
+            counts[(u, vv)][x] += 1
+    checked = 0
+    for (u, vv), nxt in counts.items():
+        n = sum(nxt.values())
+        if n < 400:
+            continue
+        weights = {}
+        for x in nbrs[vv]:
+            if x == u:
+                alpha = 1.0 / p_
+            elif x in nbrs[u]:
+                alpha = 1.0
+            else:
+                alpha = 1.0 / q_
+            weights[x] = wmap[(vv, x)] * alpha
+        tot = sum(weights.values())
+        l1 = sum(abs(nxt.get(x, 0) / n - wgt / tot) for x, wgt in weights.items())
+        assert l1 < 0.15, f"state ({u},{vv}): L1={l1:.3f}"
+        for x in nxt:
+            assert x in weights, f"impossible transition {u}->{vv}->{x}"
+        checked += 1
+    assert checked >= 5
+
+
+def test_alias_table_mass_conservation():
+    """The vectorized closed-form Vose build must place EXACTLY the scaled
+    weight mass on every outcome within every adjacency slice (a stronger
+    check than sampling): prob in [0,1], alias within the slice, and
+    per-outcome mass prob[b] + sum(1-prob[b'] over alias[b']==b) == scaled."""
+    from kkray.graph.shard_walk import build_alias_tables
+
+    rng = np.random.default_rng(77)
+    for trial in range(60):
+        nv = int(rng.integers(1, 10))
+        deg = rng.integers(0, 9, nv)
+        indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+        E = int(indptr[-1])
+        w = rng.pareto(1.2, E) + 1e-6 if trial % 2 else rng.random(E) + 1e-6
+        prob, alias = build_alias_tables(indptr, w)
+        for vv in range(nv):
+            s, e = int(indptr[vv]), int(indptr[vv + 1])
+            d = e - s
+            if d == 0:
+                continue
+            mass = np.zeros(d)
+            for b in range(s, e):
+                assert s <= alias[b] < e
+                assert -1e-12 <= prob[b] <= 1 + 1e-12
+                mass[b - s] += prob[b]
+                mass[alias[b] - s] += 1.0 - prob[b]
+            assert np.allclose(mass, w[s:e] * d / w[s:e].sum(), atol=1e-9)
+
+
 def test_metapath_scheme_legality_and_distribution(ray_session):
     v, e, T = 30, 400, 3
     src, dst = random_edges(v, e, seed=41, undirected=True)
