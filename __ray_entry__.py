@@ -409,6 +409,15 @@ def _q_minhash_pairs(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    import ray.data
+    from kkray.textops import ngram_jaccard_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.5).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_simhash_pairs(sf_dir: str):
     import ray.data
     from kkray.textops import simhash_pairs
@@ -532,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_pred": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "minhash_pairs": _q_minhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "near_dedup_keep": _q_near_dedup,
         "knn_cosine_top5": _q_knn,
@@ -581,6 +591,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT e1.vec_id::BIGINT AS a, e2.vec_id::BIGINT AS b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
             WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.42
+            ORDER BY a, b""",
+        # exact n-gram (n=5) Jaccard near-dup pairs via the shared-shingle
+        # inverted index; jaccard is the identical IEEE int64/int64 double
+        # division on both sides, so values hash-match bitwise
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+              FROM documents WHERE length(trim(text)) > 0),
+            sh AS (
+              SELECT doc_id, CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                ELSE list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' '))
+                END AS gs
+              FROM toks),
+            e AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM e x JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT a, b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.a = sa.doc_id
+            JOIN sizes sb ON inter.b = sb.doc_id
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
             ORDER BY a, b""",
         "lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "source_stats": "SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars FROM documents GROUP BY source",

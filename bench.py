@@ -104,12 +104,19 @@ def run_benchmarks() -> dict:
     with Graph.from_arrays(usd, udd, num_parts=min(NUM_CPUS, 16), v_num=len(uverts)) as gu:
         with timed("cc"):
             connected_components(gu)
-        with timed("triangles"):
-            extras["triangle_count"] = triangle_count(gu)
+        # min-of-2 like the synth legs: one-shot triangle wall times swing
+        # several-fold under host CPU steal; the min reflects capability
+        extras["triangle_count"] = timed_best("triangles", lambda: triangle_count(gu), reps=2)
         with timed("deepwalk_sharded"):
             deepwalk(gu, walker_num=len(uverts), length=80, seed=42, collect_paths=False, return_dataset=False)
         steps = sum(ray.get([a.walk_steps_taken.remote() for a in gu.actors]))
         extras["deepwalk_sharded_walked_edges_per_sec"] = round(steps / queries["deepwalk_sharded"], 0)
+        # sharded second-order: exercises the pruned stepA/respond/stepB
+        # mesh (supersteps touch only shards with walkers/queries/parked)
+        with timed("node2vec_sharded"):
+            node2vec(gu, walker_num=len(uverts), p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False)
+        steps = sum(ray.get([a.walk_steps_taken.remote() for a in gu.actors]))
+        extras["node2vec_sharded_walked_edges_per_sec"] = round(steps / queries["node2vec_sharded"], 0)
 
     # walks on the replicated pool (the graph-fits-a-node fast path:
     # one plasma-shared CSR, no inter-worker exchange)
@@ -179,6 +186,59 @@ def run_benchmarks() -> dict:
         t0 = time.perf_counter()
         assemble_paths(fp_ds, colocated=True).count()
         extras["path_assembly_colocated_sec"] = round(time.perf_counter() - t0, 3)
+
+    # vectorized alias-table build, measured at the engine's actual unit
+    # of work: ONE shard of the 64M-edge scaling-core graph at P=32 (2M
+    # edges; shards build theirs concurrently, so parallel wall time for
+    # the whole 64M-edge shard set ~= this number). The old per-vertex
+    # Python Vose loop took minutes per shard set; the closed-form pass is
+    # sub-second. min-of-3: first touch pays page-fault/steal noise.
+    from kkray.graph.shard_walk import build_alias_tables
+
+    E_sh = E2 // 32
+    deg_sh = np.bincount(bs[:E_sh] % (V2 // 32), minlength=V2 // 32)
+    indptr_sh = np.concatenate([[0], np.cumsum(deg_sh)]).astype(np.int64)
+    w_sh = rng.random(E_sh) + 0.1
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        build_alias_tables(indptr_sh, w_sh)
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    extras["alias_build_pershard_2m_sec"] = round(best, 3)
+    extras["alias_build_edges_per_sec"] = round(E_sh / best, 0)
+    del indptr_sh, w_sh, bs, bd
+
+    # WEIGHTED return-biased node2vec (1/p > max(1,1/q)): the weighted
+    # outlier-appendix (reference node2vec.hpp:66-84) vs the folded-1/p
+    # bound on the same graph — the appendix's rejection-rate win
+    from kkray.walk.engine import random_walk
+    from kkray.walk.spec import Node2vecSpec, WalkerSpec
+
+    V3, E3 = 1_000_000, 16_000_000
+    s3 = rng.integers(0, V3, E3)
+    d3 = rng.integers(0, V3, E3)
+    w3 = rng.random(E3) + 0.1
+    with WalkerPool.from_arrays(
+        np.concatenate([s3, d3]), np.concatenate([d3, s3]), weight=np.concatenate([w3, w3]),
+        num_workers=max(2, NUM_CPUS - 2), v_num=V3,
+    ) as wp3:
+        del s3, d3, w3
+
+        def wsteps():
+            return sum(ray.get([a.walk_steps_taken.remote() for a in wp3.actors]))
+
+        for name, app in (("node2vec_synth_wreturn", True), ("node2vec_synth_wreturn_folded", False)):
+            timed_best(
+                name,
+                lambda app=app: random_walk(
+                    wp3,
+                    WalkerSpec(100_000),
+                    Node2vecSpec(p=0.25, q=2.0, length=80, weighted=True, appendix=app),
+                    seed=42, collect_paths=False, return_dataset=False,
+                ),
+            )
+            extras[f"{name}_walked_edges_per_sec"] = round(wsteps() / queries[name], 0)
 
     with timed("ingest"):
         pages_tbl, _ = synth_pages(3000, seed=42)
@@ -264,7 +324,7 @@ def _gather_roofline(nproc: int, n_iter: int = 12) -> float:
     return float(sum(out))
 
 
-def run_scaling(repeat: int = 2) -> dict:
+def run_scaling(repeat: int = 2, mid: bool = False) -> dict:
     """Best-of-`repeat` per leg: this host shows intermittent CPU steal
     that can swing wall times several-fold; the minimum is the least-noisy
     estimate of the machine's actual capability at each parallelism.
@@ -298,6 +358,24 @@ def run_scaling(repeat: int = 2) -> dict:
     per_stage = {
         q: round((lo["queries"][q] / hi["queries"][q]) / 4.0, 3) for q in _SCALING_CORE
     }
+    mid_row = None
+    if mid:
+        # --mid: a third datapoint (16 cpus) triangulating the bandwidth
+        # argument — raw 8->16 efficiency beside the host roofline's own
+        # 8->16 decay (one box, one memory system)
+        md = run_at(16)
+        t_md = sum(md["queries"][q] for q in _SCALING_CORE)
+        roof_md = max(_gather_roofline(16) for _ in range(2))
+        mid_row = {
+            "sec_16cpu": round(t_md, 3),
+            "raw_efficiency_8_to_16": round((t_lo / t_md) / 2.0, 3),
+            "roofline_gathers_per_sec_16proc": round(roof_md, 0),
+            "roofline_efficiency_8_to_16": round((roof_md / roof_lo) / 2.0, 3),
+            "bandwidth_normalized_efficiency_8_to_16": round(
+                min(1.0, ((t_lo / t_md) / 2.0) / max((roof_md / roof_lo) / 2.0, 1e-9)), 3
+            ),
+            "queries_16": md["queries"],
+        }
     return {
         "metric": "scaling efficiency 8->32 cpus",
         "value": round(eff, 3),
@@ -315,12 +393,13 @@ def run_scaling(repeat: int = 2) -> dict:
         "total_sec_32cpu": hi["value"],
         "queries_8": lo["queries"],
         "queries_32": hi["queries"],
+        "mid_16cpu": mid_row,
         "sf": SF_DIR,
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        print(json.dumps(run_scaling(mid="--mid" in sys.argv)))
     else:
         print(json.dumps(run_benchmarks()))

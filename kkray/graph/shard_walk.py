@@ -526,7 +526,7 @@ class WalkMixin:
         inv_p, inv_q = 1.0 / spec["p"], 1.0 / spec["q"]
         ub2 = max(1.0, inv_q)
         overflow = inv_p - ub2
-        use_app = overflow > 0
+        use_app = overflow > 0 and spec.get("appendix", True)
         weighted = bool(spec.get("weighted"))
         rnd = 0
         while n and rnd < RETRY:

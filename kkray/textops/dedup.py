@@ -9,6 +9,10 @@ Shapes (all Ray-Data-first):
   -> exact n-gram Jaccard verification per pair.
 * near-dup clustering: verified pairs are edges -> reuse the engine's own
   connected-components (kkray.analytics) -> keep min doc per component.
+* n-gram Jaccard (exact): distinct (shingle_hash, doc) explode ->
+  self-join on shingle_hash (inverted index; every >=t pair shares a
+  shingle) -> groupby pair count = intersection; union from carried set
+  sizes. Optional stop-shingle cap for hot templates at scale.
 * SimHash: 64-bit weighted token-hash signature; banding on 4x16-bit
   chunks for candidates; verify by Hamming distance.
 * embedding near-dup: normalize -> random-hyperplane LSH buckets ->
@@ -384,6 +388,94 @@ def near_dedup(
             lambda df: pd.DataFrame({id_col: df[id_col], "keep": df["_drop"].isna()}),
             batch_format="pandas",
         )
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    num_partitions: int | None = None,
+    max_shingle_freq: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle-hash
+    index — no all-pairs stage and no LSH approximation (build brief's
+    'n-gram Jaccard' dedup mode as a first-class operator).
+
+    Any pair with jaccard >= t > 0 shares at least one shingle, so the
+    complete candidate set is the self-join of the per-doc DISTINCT
+    (shingle_hash, doc_id) table on shingle_hash; the same join yields the
+    intersection size (matches per pair), and the union comes from per-doc
+    set sizes carried through the join — the texts are read ONCE, by the
+    shingling kernel. Shape at scale: explode -> hash-partitioned
+    ``Dataset.join`` on shingle_hash -> groupby((a,b)).count; a hot
+    template shingle shared by k docs contributes k^2 join rows, so 100 TB
+    runs should set ``max_shingle_freq`` to drop ultra-frequent shingles
+    (a standard stop-shingle cap — makes the result a superset-filtered
+    approximation; the default None is exact and what the SQL oracle
+    checks). Jaccard over 64-bit shingle HASHES equals string-set Jaccard
+    except under hash collisions (~0 at any corpus size per doc pair).
+    """
+    n = shingle_n
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        sh, off = _shingle_hash_sets(df["text"], n)
+        sizes = np.diff(off)
+        return pd.DataFrame(
+            {
+                # int64 view of the uint64 hash (bijective; signed for join)
+                "h": sh.view(np.int64),
+                "doc": np.repeat(df["doc_id"].to_numpy(), sizes),
+                "sz": np.repeat(sizes, sizes),
+            }
+        )
+
+    e = docs.select_columns(["doc_id", "text"]).map_batches(explode, batch_format="pandas")
+    if max_shingle_freq is not None:
+        hot = e.groupby("h").count().filter(
+            lambda r: r["count()"] > max_shingle_freq
+        ).select_columns(["h"])
+        hot_ref = ray.put(set(int(x) for x in hot.to_pandas()["h"]))  # stop-shingles are few by construction
+
+        def drop_hot(df: pd.DataFrame) -> pd.DataFrame:
+            hs = ray.get(hot_ref)
+            return df[~df["h"].isin(hs)] if hs else df
+
+        e = e.map_batches(drop_hot, batch_format="pandas")
+    if num_partitions is None:
+        num_partitions = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
+    left = e.map_batches(
+        lambda df: df.rename(columns={"doc": "a", "sz": "sa"}), batch_format="pandas"
+    )
+    right = e.map_batches(
+        lambda df: df.rename(columns={"doc": "b", "sz": "sb"}), batch_format="pandas"
+    )
+    cand = left.join(right, "inner", num_partitions=num_partitions, on=("h",))
+    cand = cand.map_batches(
+        lambda df: df[df["a"] < df["b"]][["a", "b", "sa", "sb"]], batch_format="pandas"
+    )
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch combiner before the (a,b) shuffle: collapse duplicate
+        # pair rows to (pair, partial_count) — the partial+final pattern
+        g = df.groupby(["a", "b", "sa", "sb"], as_index=False).size()
+        return g.rename(columns={"size": "i"})
+
+    partial = cand.map_batches(pair_counts, batch_format="pandas")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        inter = df["sum(i)"].to_numpy(dtype=np.int64)
+        union = df["sa"].to_numpy(dtype=np.int64) + df["sb"].to_numpy(dtype=np.int64) - inter
+        jac = inter / union  # exact IEEE double division of int64s (matches SQL)
+        out = pd.DataFrame({"a": df["a"], "b": df["b"], "jaccard": jac})
+        return out[out["jaccard"] >= threshold]
+
+    # the wide step: one multi-key groupby shuffle merges the per-batch
+    # partial counts (sa/sb ride along as keys — constant per (a,b))
+    return (
+        partial.groupby(["a", "b", "sa", "sb"], num_partitions=num_partitions)
+        .sum("i")
+        .map_batches(finalize, batch_format="pandas")
+    )
 
 
 class SimHasher:

@@ -6,10 +6,12 @@ Media travels as opaque ``binary`` columns with typed metadata
 feature-extract / resize / frame-sample kernels are actor-pool
 ``map_batches`` stages whose *Ray mechanics* (schema, batch sizing for
 large payloads, once-per-actor setup, output layout) are real and tested;
-the codec itself is a clearly-marked stub: this container has no
-image/audio libraries, so ``decoder="none"`` raises NotImplementedError
-and ``decoder="fake"`` produces a deterministic hash-derived tensor of the
-declared shape (stable across runs — usable in tests and benchmarks).
+the image codec is real where Pillow exists (``decoder="pil"``/"auto",
+optional import at actor init) and a clearly-marked deterministic stub
+where it doesn't (``decoder="fake"``: hash-derived tensor of the declared
+shape, stable across runs — this container ships no image/audio libs, so
+tests stay hermetic on the fake). Video decode (``SampleFrames``) would
+need ffmpeg and remains stub-only.
 """
 from __future__ import annotations
 
@@ -28,24 +30,60 @@ def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
 
 
 class DecodeImage:
-    """pages/media(bytes, width, height) -> +pixels (flattened uint8).
+    """pages/media(bytes, width, height) -> +pixels (flattened uint8 RGB).
+
+    Decoders (resolved ONCE per actor in __init__, the stateful-stage
+    rule): ``"pil"`` decodes real image bytes via Pillow (optional import —
+    raises ImportError at actor init when Pillow is absent), ``"auto"``
+    uses Pillow when importable else the deterministic fake, ``"fake"``
+    emits a payload-hash-seeded tensor of the declared shape (hermetic for
+    tests/benchmarks), ``"none"`` raises NotImplementedError.
 
     Batch sizing note: decoded frames are ~W*H*3 bytes; callers must size
     ``batch_size`` so batch x concurrency fits worker heap (the
     memory-aware rule for binary payloads)."""
 
     def __init__(self, decoder: str = "fake"):
-        if decoder not in ("fake", "none"):
+        if decoder not in ("fake", "none", "pil", "auto"):
             raise ValueError(decoder)
         self.decoder = decoder
+        self._pil = None
+        if decoder in ("pil", "auto"):
+            try:
+                from PIL import Image  # optional dependency
+
+                self._pil = Image
+            except ImportError:
+                if decoder == "pil":
+                    raise
+                self.decoder = "fake"
+            else:
+                self.decoder = "pil"
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.decoder == "none":
             raise NotImplementedError(
-                "real image decode requires PIL/opencv (not in this container); "
-                "use decoder='fake' for the deterministic stub"
+                "real image decode requires Pillow/opencv; use decoder='pil' "
+                "where Pillow is installed or decoder='fake' for the stub"
             )
         out = df.copy()
+        if self.decoder == "pil":
+            import io
+
+            def dec(b):
+                img = self._pil.open(io.BytesIO(b)).convert("RGB")
+                return np.asarray(img, dtype=np.uint8)
+
+            px, hs, ws = [], [], []
+            for b in df["payload"]:
+                arr = dec(bytes(b))
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                px.append(arr.ravel())
+            out["pixels"] = px
+            out["height"] = hs  # true decoded dims override declared metadata
+            out["width"] = ws
+            return out
         out["pixels"] = [
             _fake_pixels(b, int(h), int(w)).ravel()
             for b, h, w in zip(df["payload"], df["height"], df["width"])

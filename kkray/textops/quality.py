@@ -143,14 +143,24 @@ class Fingerprint:
         return cls._POW_CACHE
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        fps = []
+        # whole-batch kernel: normalize + encode via pandas C string ops,
+        # ONE flat byte array for the batch, per-doc polynomial sums as
+        # uint64 segment reductions (mod-2^64 wrap is the hash arithmetic)
+        # — no per-document numpy round-trips
+        texts = df["text"].fillna("").str.split().str.join(" ")
+        enc = texts.str.encode("utf-8")
+        lens = enc.str.len().to_numpy().astype(np.int64)
+        flat = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8).astype(np.uint64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
         with np.errstate(over="ignore"):
-            for t in df["text"].fillna(""):
-                norm = " ".join(t.split()).encode("utf-8")
-                arr = np.frombuffer(norm, dtype=np.uint8).astype(np.uint64)
-                n = len(arr)
-                pows = self._pows(n + 1)
-                h = np.uint64(0xCBF29CE484222325) * pows[n] + (arr * pows[:n][::-1]).sum(dtype=np.uint64)
-                fps.append(int(splitmix64(np.array([h]))[0]))
-        df["fingerprint"] = np.array(fps, dtype=np.uint64)
+            pows = self._pows(int(lens.max(initial=0)) + 1)
+            sums = np.zeros(len(lens), dtype=np.uint64)
+            if len(flat):
+                # byte at global pos g of doc d carries weight B^(end_d-1-g)
+                exp = np.repeat(ends, lens) - 1 - np.arange(len(flat), dtype=np.int64)
+                nz = lens > 0
+                sums[nz] = np.add.reduceat(flat * pows[exp], starts[nz])
+            h = np.uint64(0xCBF29CE484222325) * pows[lens] + sums
+        df["fingerprint"] = splitmix64(h)
         return df

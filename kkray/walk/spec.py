@@ -98,6 +98,10 @@ class Node2vecSpec:
     length: int = 80
     weighted: bool = False
     sampler: str = "cdf"
+    # outlier-appendix sampling (reference node2vec.hpp:47-106) whenever
+    # 1/p > max(1, 1/q); False folds 1/p into the scalar bound instead
+    # (the pre-appendix formulation — kept togglable for A/B benchmarks)
+    appendix: bool = True
 
     def to_dict(self) -> dict:
         return {
@@ -107,4 +111,5 @@ class Node2vecSpec:
             "length": int(self.length),
             "weighted": bool(self.weighted),
             "sampler": self.sampler,
+            "appendix": bool(self.appendix),
         }

@@ -242,3 +242,85 @@ def test_multimodal_plumbing(ray_session):
     )
     frames = ray.data.from_pandas(vids).map_batches(SampleFrames(every=10), batch_format="pandas").to_pandas()
     assert list(frames["frame"]) == [0, 10, 20]
+
+
+def test_multimodal_pil_real_decode(ray_session):
+    """Real image decode through the optional-import path — auto-skips in
+    containers without Pillow (where 'auto' must fall back to the fake)."""
+    from kkray.textops.multimodal import DecodeImage
+
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        # no Pillow: 'auto' resolves to the deterministic fake, 'pil' must
+        # fail AT ACTOR INIT with ImportError (not mid-batch)
+        assert DecodeImage("auto").decoder == "fake"
+        with pytest.raises(ImportError):
+            DecodeImage("pil")
+        pytest.skip("Pillow not installed; real-decode path exercised where it is")
+    import io
+
+    img = Image.new("RGB", (6, 4), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    media = pd.DataFrame(
+        {"media_id": [0], "payload": [buf.getvalue()], "height": [0], "width": [0]}
+    )
+    out = (
+        ray.data.from_pandas(media)
+        .map_batches(DecodeImage("pil"), batch_format="pandas")
+        .to_pandas()
+    )
+    px = np.asarray(out["pixels"].iloc[0]).reshape(4, 6, 3)
+    assert int(out["height"].iloc[0]) == 4 and int(out["width"].iloc[0]) == 6
+    assert (px == np.array([10, 20, 30], dtype=np.uint8)).all()
+
+
+def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session):
+    """ngram_jaccard_pairs is EXACT: over a small corpus with planted
+    near-dups, short docs (< n tokens), and empty docs, its output must
+    equal the brute-force all-pairs string-shingle Jaccard at the
+    threshold — same pairs, same values (hash-set Jaccard == string-set
+    Jaccard modulo 64-bit collisions)."""
+    from kkray.textops import ngram_jaccard_pairs
+    from kkray.textops.dedup import _shingles
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    texts = {
+        0: base,
+        1: base + " extra",                      # near-dup of 0
+        2: base.replace("quick", "slow"),        # partial overlap with 0/1
+        3: "completely different words here apple orange banana cherry grape melon",
+        4: "tiny doc",                           # < n tokens
+        5: "tiny doc",                           # identical short dup of 4
+        6: "",                                   # empty
+        7: base,                                 # exact dup of 0
+    }
+    n, t = 4, 0.3
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    out = (
+        ngram_jaccard_pairs(docs, shingle_n=n, threshold=t)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    sh = {d: _shingles(txt, n) for d, txt in texts.items()}
+    expect = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and inter / union >= t:
+                expect[(a, b)] = inter / union
+    got = {(int(a), int(b)): j for a, b, j in zip(out["a"], out["b"], out["jaccard"])}
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert got[k] == expect[k]  # identical int/int double division
+    assert (0, 7) in got and got[(0, 7)] == 1.0
+    assert (4, 5) in got and got[(4, 5)] == 1.0
+
+    # stop-shingle cap: with max_shingle_freq=1 every shared shingle is
+    # dropped, so no pairs survive (the documented approximation mode)
+    capped = ngram_jaccard_pairs(docs, shingle_n=n, threshold=t, max_shingle_freq=1).to_pandas()
+    assert len(capped) == 0
