@@ -418,6 +418,19 @@ def _q_ngram_jaccard(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_top_docs_per_lang(sf_dir: str):
+    import ray.data
+    from kkray.ops import grouped_top_k
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "doc_id", "n_chars"]
+    )
+    out = grouped_top_k(
+        docs, ["lang"], ["n_chars", "doc_id"], k=3, descending=[True, False]
+    ).to_pandas()
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 def _q_simhash_pairs(sf_dir: str):
     import ray.data
     from kkray.textops import simhash_pairs
@@ -542,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "minhash_pairs": _q_minhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "simhash_pairs": _q_simhash_pairs,
         "near_dedup_keep": _q_near_dedup,
         "knn_cosine_top5": _q_knn,
@@ -617,6 +631,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
             ORDER BY a, b""",
         "lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        # distributed per-group top-k (combiner head-k per batch, then a
+        # k*groups-sized shuffle) vs the window-function formulation
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 3 ORDER BY lang, doc_id""",
         "source_stats": "SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars FROM documents GROUP BY source",
         "embedding_label_counts": "SELECT label::BIGINT AS label, count(*) AS n FROM embeddings GROUP BY label",
         "knn_cosine_top5": """

@@ -52,6 +52,43 @@ def distinct_rows(ds: ray.data.Dataset, cols: list[str], num_shards: int = 64) -
     )
 
 
+def grouped_top_k(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    order_cols: list[str],
+    k: int = 10,
+    descending: bool | list[bool] = True,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Per-group top-k without a global sort — the 100 TB shape: each
+    input batch keeps at most k rows per group (combiner), so the shuffle
+    carries O(k x groups-per-batch) rows instead of the whole input; the
+    per-shard pass applies the same head-k to the merged partials.
+    Deterministic when ``order_cols`` is a total order (append a unique id
+    column last to break ties)."""
+    asc = (
+        [not descending] * len(order_cols)
+        if isinstance(descending, bool)
+        else [not d for d in descending]
+    )
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_cols, ascending=asc).groupby(group_cols, sort=False).head(k)
+
+    def local(df: pd.DataFrame) -> pa.Table:
+        out = head_k(df)
+        return pa_from_pandas(out.assign(_shard=_shard_of(out, group_cols, num_shards)))
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        return pa_from_pandas(head_k(g.drop(columns=["_shard"])))
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
 def bucket_pairs(
     ds: ray.data.Dataset,
     key_cols: list[str],

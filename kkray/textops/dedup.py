@@ -402,74 +402,98 @@ def ngram_jaccard_pairs(
     'n-gram Jaccard' dedup mode as a first-class operator).
 
     Any pair with jaccard >= t > 0 shares at least one shingle, so the
-    complete candidate set is the self-join of the per-doc DISTINCT
-    (shingle_hash, doc_id) table on shingle_hash; the same join yields the
-    intersection size (matches per pair), and the union comes from per-doc
-    set sizes carried through the join — the texts are read ONCE, by the
-    shingling kernel. Shape at scale: explode -> hash-partitioned
-    ``Dataset.join`` on shingle_hash -> groupby((a,b)).count; a hot
-    template shingle shared by k docs contributes k^2 join rows, so 100 TB
-    runs should set ``max_shingle_freq`` to drop ultra-frequent shingles
-    (a standard stop-shingle cap — makes the result a superset-filtered
-    approximation; the default None is exact and what the SQL oracle
-    checks). Jaccard over 64-bit shingle HASHES equals string-set Jaccard
-    except under hash collisions (~0 at any corpus size per doc pair).
+    complete candidate set is the within-shingle pair expansion of the
+    per-doc DISTINCT (shingle_hash, doc_id) table; pair multiplicity IS
+    the intersection size, and the union comes from per-doc set sizes
+    carried alongside — the texts are read ONCE, by the shingling kernel.
+    Shape at scale (shard-then-vectorize, the same machinery as
+    ``kkray.ops.bucket_pairs`` — deliberately not ``Dataset.join``, which
+    in Ray 2.49 loses the key column on all-empty inputs): explode with a
+    shingle-hash shard id -> groupby(shard) pair expansion + per-shard
+    partial pair counts (the combiner) -> one (a,b)-keyed groupby-sum.
+    A hot template shingle shared by k docs contributes k^2 pair rows, so
+    100 TB runs should set ``max_shingle_freq`` to skip ultra-frequent
+    shingles (a standard stop-shingle cap — makes the result a
+    superset-filtered approximation; the default None is exact and what
+    the SQL oracle checks). Jaccard over 64-bit shingle HASHES equals
+    string-set Jaccard except under hash collisions (~0 per doc pair at
+    any corpus size).
     """
-    n = shingle_n
+    from ..ops import pa_from_pandas
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
+    n = shingle_n
+    if num_partitions is None:
+        num_partitions = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
+    num_shards = num_partitions * 8  # shingle-hash buckets (pair-expansion tasks)
+
+    def explode(df: pd.DataFrame) -> pa.Table:
         sh, off = _shingle_hash_sets(df["text"], n)
         sizes = np.diff(off)
-        return pd.DataFrame(
+        # explicit arrow schema so zero-row blocks (empty input/all-empty
+        # texts) keep their columns through the shuffles
+        return pa.table(
             {
-                # int64 view of the uint64 hash (bijective; signed for join)
-                "h": sh.view(np.int64),
-                "doc": np.repeat(df["doc_id"].to_numpy(), sizes),
-                "sz": np.repeat(sizes, sizes),
+                # int64 view of the uint64 hash (bijective; signed col)
+                "h": pa.array(sh.view(np.int64), pa.int64()),
+                "doc": pa.array(np.repeat(df["doc_id"].to_numpy(), sizes), pa.int64()),
+                "sz": pa.array(np.repeat(sizes, sizes), pa.int64()),
+                "_shard": pa.array((sh % np.uint64(num_shards)).astype(np.int32), pa.int32()),
             }
         )
 
     e = docs.select_columns(["doc_id", "text"]).map_batches(explode, batch_format="pandas")
-    if max_shingle_freq is not None:
-        hot = e.groupby("h").count().filter(
-            lambda r: r["count()"] > max_shingle_freq
-        ).select_columns(["h"])
-        hot_ref = ray.put(set(int(x) for x in hot.to_pandas()["h"]))  # stop-shingles are few by construction
 
-        def drop_hot(df: pd.DataFrame) -> pd.DataFrame:
-            hs = ray.get(hot_ref)
-            return df[~df["h"].isin(hs)] if hs else df
+    def pair_partials(g: pd.DataFrame) -> pa.Table:
+        """One shingle-hash shard: expand each shingle's doc list into
+        ordered pairs (docs sorted within the run, so a < b), then the
+        LOCAL combiner — collapse to (a, b, sa, sb, partial_count) before
+        the pair shuffle. The python loop touches only multi-doc runs."""
+        empty = pa.table(
+            {c: pa.array([], pa.int64()) for c in ("a", "b", "sa", "sb", "i")}
+        )
+        if not len(g):
+            return empty
+        g = g.sort_values(["h", "doc"])
+        h = g["h"].to_numpy()
+        d = g["doc"].to_numpy()
+        sz = g["sz"].to_numpy(dtype=np.int64)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(h) != 0) + 1, [len(h)]])
+        a_l, b_l, sa_l, sb_l = [], [], [], []
+        for s, t in zip(starts[:-1], starts[1:]):
+            k = t - s
+            if k < 2 or (max_shingle_freq is not None and k > max_shingle_freq):
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            a_l.append(d[s:t][ii])
+            b_l.append(d[s:t][jj])
+            sa_l.append(sz[s:t][ii])
+            sb_l.append(sz[s:t][jj])
+        if not a_l:
+            return empty
+        df = pd.DataFrame(
+            {
+                "a": np.concatenate(a_l),
+                "b": np.concatenate(b_l),
+                "sa": np.concatenate(sa_l),
+                "sb": np.concatenate(sb_l),
+            }
+        )
+        part = df.groupby(["a", "b", "sa", "sb"], as_index=False).size().rename(columns={"size": "i"})
+        return pa_from_pandas(part.astype({"i": np.int64}))
 
-        e = e.map_batches(drop_hot, batch_format="pandas")
-    if num_partitions is None:
-        num_partitions = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
-    left = e.map_batches(
-        lambda df: df.rename(columns={"doc": "a", "sz": "sa"}), batch_format="pandas"
-    )
-    right = e.map_batches(
-        lambda df: df.rename(columns={"doc": "b", "sz": "sb"}), batch_format="pandas"
-    )
-    cand = left.join(right, "inner", num_partitions=num_partitions, on=("h",))
-    cand = cand.map_batches(
-        lambda df: df[df["a"] < df["b"]][["a", "b", "sa", "sb"]], batch_format="pandas"
-    )
-
-    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
-        # per-batch combiner before the (a,b) shuffle: collapse duplicate
-        # pair rows to (pair, partial_count) — the partial+final pattern
-        g = df.groupby(["a", "b", "sa", "sb"], as_index=False).size()
-        return g.rename(columns={"size": "i"})
-
-    partial = cand.map_batches(pair_counts, batch_format="pandas")
+    partial = e.groupby("_shard").map_groups(pair_partials, batch_format="pandas")
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64), "jaccard": pd.Series([], dtype=np.float64)}
+        if not len(df) or "sum(i)" not in df.columns:  # degenerate empty-groupby block
+            return pd.DataFrame(out_cols)
         inter = df["sum(i)"].to_numpy(dtype=np.int64)
         union = df["sa"].to_numpy(dtype=np.int64) + df["sb"].to_numpy(dtype=np.int64) - inter
         jac = inter / union  # exact IEEE double division of int64s (matches SQL)
         out = pd.DataFrame({"a": df["a"], "b": df["b"], "jaccard": jac})
         return out[out["jaccard"] >= threshold]
 
-    # the wide step: one multi-key groupby shuffle merges the per-batch
+    # the wide step: one multi-key groupby shuffle merges the per-shard
     # partial counts (sa/sb ride along as keys — constant per (a,b))
     return (
         partial.groupby(["a", "b", "sa", "sb"], num_partitions=num_partitions)

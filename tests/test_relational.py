@@ -123,3 +123,33 @@ def test_consecutive_pairs_join_semantics(ray_session):
     got = sorted(zip(out["src"].astype(int), out["dst"].astype(int)))
     # gap 2->4 excluded, group change excluded, BOTH dup-seq rows pair with 42
     assert got == [(10, 11), (20, 21), (40, 42), (41, 42)]
+
+
+def test_grouped_top_k_matches_pandas(ray_session):
+    """grouped_top_k (combiner head-k -> shard -> head-k) must equal the
+    single-frame pandas answer across many small blocks, mixed sort
+    directions, ties, and groups smaller than k."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from kkray.ops import grouped_top_k
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 12, 500),
+            "v": rng.integers(0, 40, 500),  # heavy ties
+            "id": np.arange(500),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(13)  # force many combiner batches
+    got = (
+        grouped_top_k(ds, ["g"], ["v", "id"], k=4, descending=[True, False])
+        .to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("g", sort=False).head(4)
+        .sort_values(["g", "id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "v", "id"]], want[["g", "v", "id"]])
