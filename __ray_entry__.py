@@ -265,6 +265,16 @@ def _q_node2vec(sf_dir: str):
     return paths.sort_values("walker_id").reset_index(drop=True)[["walker_id", "length"]]
 
 
+def _q_mh(sf_dir: str):
+    from kkray.walk import mh_walk
+
+    src, dst = _cooc_arrays(sf_dir)
+    g, verts = _dense_graph(src, dst)
+    with g:
+        paths = mh_walk(g, walker_num=1000, length=15, seed=42).to_pandas()
+    return paths.sort_values("walker_id").reset_index(drop=True)[["walker_id", "length"]]
+
+
 def _q_ppr(sf_dir: str):
     from kkray.walk import ppr_walk
 
@@ -540,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deepwalk_paths": _q_deepwalk,
         "node2vec_paths": _q_node2vec,
         "ppr_visit_counts": _q_ppr,
+        "mh_paths": _q_mh,
         "metapath_paths": _q_metapath,
         # ingestion (SURVEY §2.1/§2.7 new scope)
         "extract_text_pages": _q_extract_text,

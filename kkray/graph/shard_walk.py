@@ -179,6 +179,19 @@ class WalkMixin:
             self._clb = (
                 np.asarray(lb(vids, self.outdeg), dtype=np.float64) if callable(lb) else lb
             )
+        if kind == "mh":
+            # Metropolis-Hastings uniform-target chain (SURVEY.md §2.4's
+            # "Metropolis-Hastings-style rejection sampling" as a
+            # first-class app): uniform neighbour proposal + acceptance
+            # min(1, deg(u)/deg(v)). Needs deg(v) per adjacency edge —
+            # locally available when this shard owns every vertex
+            # (num_parts==1 / WalkerPool), else filled by the engine's
+            # routed degree exchange (mh_deg_requests/deg_lookup/mh_build,
+            # same join shape as the triangle orientation).
+            if spec.get("weighted"):
+                raise ValueError("mh walk: uniform proposal only (unweighted graph required)")
+            if self.num_parts == 1:
+                self._mh_dstdeg = None  # lookup outdeg_full directly
         if kind == "metapath":
             et = self.csr.etypes
             if et is None:
@@ -311,6 +324,39 @@ class WalkMixin:
             return work, int(pk.num_rows)
         return work, 0
 
+    # --------------- Metropolis-Hastings degree exchange ---------------- #
+    # The MH acceptance min(1, deg(u)/deg(v)) needs the CANDIDATE's degree,
+    # which is remote under vertex sharding. Same routed degree join as the
+    # triangle orientation (shard.py tri_deg_requests/tri_deg_lookup):
+    # request unique out-neighbour degrees from their owners once per walk,
+    # scatter into a per-edge array aligned with csr.indices — O(E/P) int32
+    # per shard, no dense O(V) structure anywhere.
+    def mh_deg_requests(self):
+        """Unique out-neighbour ids bucketed by owner partition."""
+        dst = self.csr.indices
+        uniq = np.unique(dst)
+        parts = part_of(uniq, self.boundaries)
+        bounds = np.searchsorted(parts, np.arange(self.num_parts + 1))
+        self._mh_uniq = uniq  # sorted -> contiguous owner buckets
+        self._mh_uniq_bounds = bounds
+        return tuple(uniq[bounds[p] : bounds[p + 1]] for p in range(self.num_parts))
+
+    def deg_lookup(self, *id_batches):
+        """Answer degree queries for owned vertex ids — O(query), not O(V)."""
+        return tuple(self.outdeg_full[np.asarray(ids, dtype=np.int64) - self.lo] for ids in id_batches)
+
+    def mh_build(self, *deg_batches):
+        """Scatter neighbour degrees (responses aligned with
+        mh_deg_requests buckets) into the per-edge dst-degree array."""
+        uniq = self._mh_uniq
+        udeg = np.empty(len(uniq), dtype=np.int64)
+        b = self._mh_uniq_bounds
+        for p, batch in enumerate(deg_batches):
+            udeg[b[p] : b[p + 1]] = batch
+        self._mh_dstdeg = udeg[np.searchsorted(uniq, self.csr.indices)].astype(np.int32)
+        del self._mh_uniq, self._mh_uniq_bounds
+        return int(len(self._mh_dstdeg))
+
     def _sample(self, cur_local: np.ndarray, rng) -> np.ndarray:
         """Candidate CSR positions ~ static component."""
         deg = self.outdeg[cur_local]
@@ -352,7 +398,7 @@ class WalkMixin:
             cur_local = cur - self.lo
             deg = self.outdeg[cur_local]
             alive = deg > 0  # degree-0 termination (reference walk.hpp:956-960)
-            if kind == "truncated":
+            if kind in ("truncated", "mh"):
                 alive &= step < spec["length"]
             elif kind == "geometric":
                 draw = rng.random(len(wid))
@@ -383,7 +429,22 @@ class WalkMixin:
                 cur_local = cur - self.lo
             pos = self._sample(cur_local, rng)
             cand = self.csr.indices[pos]
-            if kind == "metapath":
+            if kind == "mh":
+                # MH acceptance: accept v w.p. min(1, deg(u)/deg(v)) — i.e.
+                # r*deg(v) <= deg(u); REJECT = STAY (the chain re-emits u and
+                # the step still counts). Staying — not resampling — is what
+                # makes the stationary distribution uniform; the engine's
+                # resample-rejection would instead draw v ∝ min(1,deg u/deg v).
+                du = self.outdeg[cur_local]
+                dv = (
+                    self._mh_dstdeg[pos]
+                    if self._mh_dstdeg is not None
+                    else self.outdeg_full[cand - self.lo]
+                )
+                acc = rng.random(len(wid)) * dv <= du
+                cand = np.where(acc, cand, cur)
+                ok = np.ones(len(wid), dtype=bool)
+            elif kind == "metapath":
                 allowed = self._scheme_masks[self._scheme_off[ex["scheme"]] + ex["mstate"]]
                 ok = ((np.int64(1) << self.csr.etypes[pos].astype(np.int64)) & allowed) != 0
             elif kind == "custom" and spec.get("dynamic_fn") is not None:

@@ -65,6 +65,25 @@ def node2vec(graph, walker_num: int, p: float = 1.0, q: float = 1.0, length: int
     )
 
 
+def mh_walk(graph, walker_num: int, length: int = 80, start="equal", seed: int = 42, **kw):
+    """Metropolis-Hastings uniform-target walk (SURVEY.md §2.4's
+    'Metropolis-Hastings-style rejection sampling' surfaced as a
+    first-class app): propose a neighbour uniformly, accept with
+    probability min(1, deg(u)/deg(v)), REJECT = STAY (the chain re-emits
+    the current vertex and the step counts). On a connected undirected
+    graph the stationary distribution is UNIFORM over vertices — the
+    unbiased-sampling counterpart to the simple walk's deg(v)/2E bias.
+    Candidate degrees come from a per-walk routed degree exchange
+    (engine.py), so no O(V) structure is broadcast. Unweighted only."""
+    return random_walk(
+        graph,
+        WalkerSpec(walker_num, start),
+        TransitionSpec(kind="mh", length=length),
+        seed=seed,
+        **kw,
+    )
+
+
 def scheme_from_type_sequence(seq: list[int]) -> list[int]:
     """Convenience: a scheme allowing exactly one edge type per position."""
     return [1 << t for t in seq]

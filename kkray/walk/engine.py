@@ -128,6 +128,17 @@ def random_walk(
     P = graph.num_parts
     spec = tspec.to_dict()
     ray.get([a.walk_begin.remote(spec, seed, collect_paths) for a in actors])
+    if spec["kind"] == "mh" and P > 1:
+        # routed degree exchange: the MH acceptance needs deg(candidate),
+        # remote under vertex sharding — one (request, lookup, scatter)
+        # round per walk, O(unique out-neighbours) per shard (the same
+        # join shape as the triangle orientation, analytics/triangles.py)
+        reqs = [a.mh_deg_requests.options(num_returns=P).remote() for a in actors]
+        resp = [
+            actors[p].deg_lookup.options(num_returns=P).remote(*[reqs[q][p] for q in range(P)])
+            for p in range(P)
+        ]
+        ray.get([actors[q].mh_build.remote(*[resp[p][q] for p in range(P)]) for q in range(P)])
     if getattr(graph, "replicated", False):
         return _run_replicated(graph, wspec, spec, seed, return_dataset)
     start_ss = 0

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from kkray.graph import Graph
-from kkray.walk import deepwalk, metapath_walk, node2vec, ppr_walk
+from kkray.walk import deepwalk, metapath_walk, mh_walk, node2vec, ppr_walk
 from kkray.walk.apps import scheme_from_type_sequence
 from kkray.walk.engine import paths_to_numpy
 
@@ -281,3 +281,62 @@ def test_walker_stuck_at_sink(ray_session):
     assert np.array_equal(paths[0], [0, 1, 2])
     assert np.array_equal(paths[1], [1, 2])
     assert np.array_equal(paths[2], [2])
+
+
+# ------------------------- Metropolis-Hastings ------------------------- #
+def _analytic_mh(src, dst, v):
+    """MH chain targeting uniform: P(u->v) = min(1, deg u/deg v)/deg u per
+    neighbour, P(u->u) = leftover rejection mass (stay)."""
+    deg = np.bincount(src, minlength=v).astype(float)
+    m = np.zeros((v, v))
+    for a, b in zip(src, dst):
+        m[a, b] += min(1.0, deg[a] / deg[b]) / deg[a]
+    for u in range(v):
+        if deg[u] > 0:
+            stay = 1.0 - m[u].sum()
+            m[u, u] += stay if stay > 1e-12 else 0.0
+    return m
+
+
+def test_mh_transition_matrix_sharded(ray_session):
+    """Sharded path: candidate degrees come from the routed degree
+    exchange (engine mh setup); empirical one-step matrix — including the
+    reject=stay diagonal — must match the analytic MH kernel."""
+    v, e = 30, 250
+    src, dst = random_edges(v, e, seed=23, undirected=True)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        paths = paths_to_numpy(mh_walk(g, walker_num=4000, length=12, seed=13))
+    analytic = _analytic_mh(src, dst, v)
+    emp = _empirical(paths, v)
+    _check_rows(emp, analytic)
+
+
+def test_mh_stationary_uniform_pool(ray_session):
+    """Pool path (local degree lookup, no exchange): long-run visit
+    frequencies over a connected undirected graph approach UNIFORM — the
+    property that distinguishes MH from the simple walk's deg(v)/2E bias."""
+    from kkray.graph import WalkerPool
+
+    v = 20
+    # a star (hub 0) + ring: sharply non-uniform degrees
+    ring_s = np.arange(v, dtype=np.int64)
+    ring_d = (ring_s + 1) % v
+    star_s = np.zeros(v - 1, dtype=np.int64)
+    star_d = np.arange(1, v, dtype=np.int64)
+    s = np.concatenate([ring_s, ring_d, star_s, star_d])
+    d = np.concatenate([ring_d, ring_s, star_d, star_s])
+    pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+    s, d = pairs[:, 0], pairs[:, 1]
+    with WalkerPool.from_arrays(s, d, num_workers=3, v_num=v) as g:
+        paths = paths_to_numpy(mh_walk(g, walker_num=400, length=250, seed=29))
+    counts = np.zeros(v)
+    burn = 50  # drop the (uniform-start) transient
+    for p in paths.values():
+        vs, cs = np.unique(p[burn:], return_counts=True)
+        counts[vs] += cs
+    freq = counts / counts.sum()
+    # uniform target: every vertex near 1/v (hub 0 NOT over-represented)
+    assert np.abs(freq - 1.0 / v).max() < 0.3 / v, freq
+    # contrast: the simple-walk bias would put deg(0)/2E ~ 3x mass on the hub
+    deg = np.bincount(s, minlength=v)
+    assert freq[0] < 1.5 / v < deg[0] / deg.sum()
