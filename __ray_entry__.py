@@ -482,6 +482,21 @@ def _q_knn_lsh(sf_dir: str):
     return out[["query_vec_id", "rank", "vec_id"]].astype("int64").reset_index(drop=True)
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF in its exact mode (nprobe == nlist scans every inverted list),
+    so the brute-force SQL oracle applies verbatim; the recall<1
+    approximate mode (nprobe < nlist) is pytest-covered instead."""
+    import ray.data
+    from kkray.textops import knn_ivf
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id").head(3)
+    q = np.stack(qdf["embedding"].to_numpy())
+    out = knn_ivf(emb, q, k=5, nlist=8, nprobe=8)
+    out["query_vec_id"] = qdf["vec_id"].to_numpy()[out["query_id"].to_numpy()]
+    return out[["query_vec_id", "rank", "vec_id"]].astype("int64").reset_index(drop=True)
+
+
 def _q_word_chars(sf_dir: str):
     """Non-whitespace char count per doc (vectorized str.count — oracle:
     length(regexp_replace(text,'\\s','','g')))."""
@@ -571,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep": _q_near_dedup,
         "knn_cosine_top5": _q_knn,
         "knn_lsh_top5": _q_knn_lsh,
+        "knn_ivf_top5": _q_knn_ivf,
         "embedding_label_counts": _q_emb_labels,
         "embedding_near_dup_pairs": _q_emb_near_dup,
         # relational surface (joins/aggregates/top-k/window)
@@ -652,6 +668,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 3 ORDER BY lang, doc_id""",
         "source_stats": "SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars FROM documents GROUP BY source",
         "embedding_label_counts": "SELECT label::BIGINT AS label, count(*) AS n FROM embeddings GROUP BY label",
+        # IVF exact mode == brute force, so the same SQL oracle applies
+        # (column names identical; values are the same float64 cosine path)
+        "knn_ivf_top5": """
+            WITH q AS (SELECT vec_id AS query_vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 3),
+            sims AS (
+              SELECT q.query_vec_id, e.vec_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_vec_id, rank, vec_id FROM (
+              SELECT query_vec_id, vec_id,
+                     row_number() OVER (PARTITION BY query_vec_id ORDER BY sim DESC, vec_id ASC) - 1 AS rank
+              FROM sims
+            ) WHERE rank < 5""",
         "knn_cosine_top5": """
             WITH q AS (SELECT vec_id AS query_vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 3),
             sims AS (

@@ -8,6 +8,13 @@
   probes its own bucket plus the `probes` nearest codes by Hamming
   distance. Recall < 1 by construction; exactness is traded for bucket-
   local work.
+* ``knn_ivf`` — the coarse-quantizer scale path (IVF): k-means centroids
+  trained on a deterministic hash-sample of the corpus (small driver-side
+  Lloyd loop, the standard IVF recipe), centroids broadcast once with
+  ``ray.put``; every data batch assigns its vectors to the nearest
+  centroid list and only the lists a query probes are scanned. With
+  ``nprobe == nlist`` the scan degenerates to exact brute force (the
+  oracle-comparable mode); ``nprobe < nlist`` is the recall<1 scale mode.
 """
 from __future__ import annotations
 
@@ -60,6 +67,121 @@ def knn_brute(
     return (
         partial.groupby("query_id")
         .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def _topk_merge(k: int):
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(len(g))
+        return g
+
+    return merge
+
+
+def _hash_sample(
+    emb: ray.data.Dataset, id_col: str, vec_col: str, sample_size: int
+) -> np.ndarray:
+    """Deterministic ~``sample_size``-row sample of the embedding column:
+    Knuth-hash the id column and keep rows under a threshold derived from
+    the dataset count. One count pass + one filtered collect of only the
+    sampled rows — O(sample) driver memory at any corpus size."""
+    n = emb.count()
+    if n == 0:
+        raise ValueError("knn_ivf: empty embedding dataset")
+    frac = min(1.0, (1.5 * sample_size) / n)  # 1.5x slack: hash jitter
+    thresh = np.uint32(int(frac * (2**32 - 1)))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df[id_col].to_numpy().astype(np.uint64) * np.uint64(2654435761)).astype(np.uint32)
+        return df.loc[h <= thresh, [vec_col]]
+
+    rows = emb.map_batches(pick, batch_format="pandas").take_all()
+    v = np.stack([r[vec_col] for r in rows[:sample_size]]).astype(np.float64)
+    return _norm_rows(v)
+
+
+def _kmeans(sample: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray:
+    """Spherical k-means (Lloyd) over the driver-side sample; greedy
+    farthest-first init for determinism. The sample and the centroid
+    matrix are both tiny (<= sample_size x dim)."""
+    rng = np.random.Generator(np.random.Philox(seed))
+    n = len(sample)
+    nlist = min(nlist, n)
+    cent = np.empty((nlist, sample.shape[1]))
+    cent[0] = sample[int(rng.integers(n))]
+    sim = sample @ cent[0]
+    for i in range(1, nlist):  # farthest-first (max-min cosine distance)
+        cent[i] = sample[int(np.argmin(sim))]
+        sim = np.maximum(sim, sample @ cent[i])
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(nlist):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+        cent = _norm_rows(cent)
+    return cent
+
+
+def knn_ivf(
+    emb: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 4096,
+    kmeans_iters: int = 10,
+) -> pd.DataFrame:
+    """IVF ANN: coarse k-means quantizer trained on a hash-sample, then a
+    single streaming pass where each batch scores only (query, vector)
+    pairs whose vector falls in one of that query's ``nprobe`` nearest
+    centroid lists. ``nprobe >= nlist`` reproduces knn_brute exactly.
+    Same output schema as knn_brute."""
+    q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    cent = _kmeans(_hash_sample(emb, id_col, vec_col, sample_size), nlist, kmeans_iters, seed)
+    nlist = len(cent)
+    nprobe = min(nprobe, nlist)
+    # per-query probed lists: nprobe nearest centroids by cosine
+    order = np.argsort(-(q @ cent.T), axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+    bref = ray.put((q, cent, order))
+
+    class ListTopK:
+        def __init__(self):
+            self.q, self.cent, self.order = ray.get(bref)
+            # bitmask per query over centroid lists (nlist <= 64 typical;
+            # fall back to a bool matrix above that)
+            self.probe = np.zeros((len(self.q), len(self.cent)), dtype=bool)
+            rows = np.repeat(np.arange(len(self.q)), self.order.shape[1])
+            self.probe[rows, self.order.ravel()] = True
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            v = _norm_rows(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+            ids = df[id_col].to_numpy()
+            assign = np.argmax(v @ self.cent.T, axis=1)  # (B,)
+            out = []
+            for qi in range(len(self.q)):
+                mask = self.probe[qi, assign]
+                if not mask.any():
+                    continue
+                s = self.q[qi] @ v[mask].T
+                kk = min(k, len(s))
+                idx = np.argpartition(-s, kk - 1)[:kk]
+                out.append(pd.DataFrame({"query_id": qi, "vec_id": ids[mask][idx], "cosine": s[idx]}))
+            if not out:
+                return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+            return pd.concat(out, ignore_index=True)
+
+    partial = emb.map_batches(ListTopK, batch_format="pandas", concurrency=(1, 8))
+    return (
+        partial.groupby("query_id")
+        .map_groups(_topk_merge(k), batch_format="pandas")
         .to_pandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)

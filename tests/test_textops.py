@@ -202,6 +202,32 @@ def test_embedding_near_dup_and_knn(ray_session):
     assert int(top1) == 3
 
 
+def test_knn_ivf_exact_and_recall(ray_session):
+    from kkray.textops import knn_ivf
+
+    rng = np.random.Generator(np.random.Philox(11))
+    # 4 well-separated clusters of 50 -> kmeans finds them; IVF recall high
+    centers = rng.standard_normal((4, 16)) * 6
+    base = np.concatenate([c + rng.standard_normal((50, 16)) for c in centers])
+    ids = np.arange(len(base), dtype=np.int64)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": [v.astype(np.float32) for v in base]})
+    ).repartition(4)
+    q = base[[7, 120]]
+    exact = knn_brute(ds, q, k=5)
+    # nprobe == nlist: IVF must reproduce brute EXACTLY (every list scanned)
+    full = knn_ivf(ds, q, k=5, nlist=8, nprobe=8, sample_size=200)
+    pd.testing.assert_frame_equal(
+        full[["query_id", "rank", "vec_id"]], exact[["query_id", "rank", "vec_id"]]
+    )
+    # nprobe=2 of 8: approximate mode still finds the home cluster
+    approx = knn_ivf(ds, q, k=5, nlist=8, nprobe=2, sample_size=200)
+    for qi in range(2):
+        e = set(exact[exact["query_id"] == qi]["vec_id"].to_numpy().tolist())
+        a = set(approx[approx["query_id"] == qi]["vec_id"].to_numpy().tolist())
+        assert len(e & a) >= 4, (qi, e, a)  # recall@5 >= 0.8 on clustered data
+
+
 def test_knn_on_testdata_embeddings(ray_session):
     emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
     first = emb.take(3)
