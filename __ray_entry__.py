@@ -482,6 +482,59 @@ def _q_knn_lsh(sf_dir: str):
     return out[["query_vec_id", "rank", "vec_id"]].astype("int64").reset_index(drop=True)
 
 
+def _q_sessionize(sf_dir: str):
+    """Gap-based sessionization over the events stream (30-min gap)."""
+    import ray.data
+    from kkray.relational.temporal import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    out = sessionize(ev, gap="30min").to_pandas()
+    out["session_start"] = pd.to_datetime(out["session_start"])
+    return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
+def _q_asof(sf_dir: str):
+    """As-of join: each purchase event matched to the same user's latest
+    click at-or-before it (ties by max event_id); no-match -> -1."""
+    import ray.data
+    from kkray.relational.temporal import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    p = ev.filter(expr="event_type == 'purchase'").select_columns(["event_id", "user_id", "ts"])
+    c = ev.filter(expr="event_type == 'click'").select_columns(["event_id", "user_id", "ts"])
+    out = asof_join(
+        p, c, by="user_id", on="ts", tie="event_id",
+        right_cols={"ts": "click_ts", "event_id": "click_event_id"},
+    ).to_pandas()
+    out["click_event_id"] = out["click_event_id"].fillna(-1).astype("int64")
+    return (
+        out[["event_id", "user_id", "click_event_id"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_range_join(sf_dir: str):
+    """Range join (count form): purchases by the same user within +/-1h
+    of each error event."""
+    import ray.data
+    from kkray.relational.temporal import range_join_count
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    e = ev.filter(expr="event_type == 'error'").select_columns(["event_id", "user_id", "ts"])
+    p = ev.filter(expr="event_type == 'purchase'").select_columns(["user_id", "ts"])
+    out = range_join_count(
+        e, p, by="user_id", on="ts", lo_delta="-1h", hi_delta="1h", out_col="n_purchases"
+    ).to_pandas()
+    return (
+        out[["event_id", "n_purchases"]].astype("int64").sort_values("event_id").reset_index(drop=True)
+    )
+
+
 def _q_knn_ivf(sf_dir: str):
     """IVF in its exact mode (nprobe == nlist scans every inverted list),
     so the brute-force SQL oracle applies verbatim; the recall<1
@@ -594,6 +647,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_per_nation": lambda sf: revenue_per_nation(sf),
         "top_customers": lambda sf: top_customers(sf),
         "events_hourly_window": lambda sf: events_hourly_window(sf),
+        "sessionize_events": _q_sessionize,
+        "asof_purchase_click": _q_asof,
+        "range_join_error_purchases": _q_range_join,
         "filter_pushdown_scan": lambda sf: filter_pushdown_scan(sf),
     }
 
@@ -714,6 +770,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n_events, round(sum(value),6) AS sum_value
             FROM events GROUP BY user_id, event_type, date_trunc('hour', ts)""",
+        # gap-based sessionization == lag/cumsum window formulation
+        "sessionize_events": """
+            WITH x AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS ns
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), y AS (
+              SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+              FROM x
+            )
+            SELECT user_id, session_idx::BIGINT AS session_idx,
+                   count(*)::BIGINT AS n_events, min(ts) AS session_start
+            FROM y GROUP BY 1, 2""",
+        # backward as-of join == rank-1 of the inequality join, ties by
+        # max event_id (identical to merge_asof's last-of-equal-ts pick)
+        "asof_purchase_click": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+                 c AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),
+                 m AS (
+              SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+                     row_number() OVER (PARTITION BY p.event_id
+                                        ORDER BY c.ts DESC, c.event_id DESC) AS rn
+              FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+            SELECT event_id, user_id, COALESCE(click_event_id, -1) AS click_event_id
+            FROM m WHERE rn = 1""",
+        # range join (count form) == left inequality join + group count
+        "range_join_error_purchases": """
+            SELECT e.event_id, count(p.event_id)::BIGINT AS n_purchases
+            FROM events e LEFT JOIN events p
+              ON p.user_id = e.user_id AND p.event_type = 'purchase'
+             AND p.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts + INTERVAL 1 HOUR
+            WHERE e.event_type = 'error' GROUP BY 1""",
         "filter_pushdown_scan": """
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
             FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0""",
