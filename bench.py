@@ -164,6 +164,15 @@ def run_benchmarks() -> dict:
             lambda: node2vec(wp2, walker_num=100_000, p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False),
         )
         extras["node2vec_synth_walked_edges_per_sec"] = round(steps_taken() / queries["node2vec_synth"], 0)
+        # Metropolis-Hastings uniform-target walk (accept deg(u)/deg(v),
+        # reject=stay): pool path, degree lookups local
+        from kkray.walk import mh_walk
+
+        timed_best(
+            "mh_synth",
+            lambda: mh_walk(wp2, walker_num=100_000, length=80, seed=42, collect_paths=False, return_dataset=False),
+        )
+        extras["mh_walked_edges_per_sec"] = round(steps_taken() / queries["mh_synth"], 0)
         # return-biased node2vec (1/p > max(1,1/q)): exercises the
         # outlier-appendix sampling path (reference paper Table 5b)
         timed_best(
@@ -255,6 +264,17 @@ def run_benchmarks() -> dict:
 
         qdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").head(8)
         knn_brute(emb, np.stack(qdf["embedding"].to_numpy()), k=10)
+
+    with timed("knn_ivf"):
+        from kkray.textops import knn_ivf
+
+        knn_ivf(emb, np.stack(qdf["embedding"].to_numpy()), k=10, nlist=32, nprobe=4)
+
+    with timed("sessionize"):
+        from kkray.relational.temporal import sessionize
+
+        ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "event_id"])
+        extras["sessions"] = sessionize(ev, gap="30min").count()
 
     ray.shutdown()
     total = round(sum(queries.values()), 3)

@@ -67,7 +67,7 @@ def main(argv=None):
     sub.add_parser("triangles", parents=[common])
 
     wk = sub.add_parser("walk", parents=[common])
-    wk.add_argument("--kind", choices=["deepwalk", "ppr", "node2vec"], default="deepwalk")
+    wk.add_argument("--kind", choices=["deepwalk", "ppr", "node2vec", "mh"], default="deepwalk")
     wk.add_argument("--walkers", type=int, required=True)
     wk.add_argument("--length", type=int, default=80)
     wk.add_argument("--terminate-prob", type=float, default=1 / 80)
@@ -126,13 +126,15 @@ def main(argv=None):
             n = triangle_count(g)
         print(json.dumps({"cmd": "triangles", "triangles": n, "sec": round(time.perf_counter() - t0, 2)}))
     elif args.cmd == "walk":
-        from .walk import deepwalk, node2vec, ppr_walk
+        from .walk import deepwalk, mh_walk, node2vec, ppr_walk
 
         with _load_graph(args) as g:
             if args.kind == "deepwalk":
                 paths = deepwalk(g, args.walkers, length=args.length, weighted=args.weighted, seed=args.seed)
             elif args.kind == "ppr":
                 paths = ppr_walk(g, args.walkers, terminate_prob=args.terminate_prob, weighted=args.weighted, seed=args.seed)
+            elif args.kind == "mh":
+                paths = mh_walk(g, args.walkers, length=args.length, seed=args.seed)
             else:
                 paths = node2vec(g, args.walkers, p=args.p, q=args.q, length=args.length, weighted=args.weighted, seed=args.seed)
             paths.write_parquet(args.out)
