@@ -127,6 +127,21 @@ def _kmeans(sample: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray
     return cent
 
 
+def train_ivf(
+    emb: ray.data.Dataset,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 4096,
+    kmeans_iters: int = 10,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer (spherical k-means over a
+    deterministic hash-sample) and return the (nlist, dim) centroid
+    matrix for reuse across ``knn_ivf`` calls."""
+    return _kmeans(_hash_sample(emb, id_col, vec_col, sample_size), nlist, kmeans_iters, seed)
+
+
 def knn_ivf(
     emb: ray.data.Dataset,
     queries: np.ndarray,
@@ -138,14 +153,22 @@ def knn_ivf(
     seed: int = 42,
     sample_size: int = 4096,
     kmeans_iters: int = 10,
+    centroids: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """IVF ANN: coarse k-means quantizer trained on a hash-sample, then a
     single streaming pass where each batch scores only (query, vector)
     pairs whose vector falls in one of that query's ``nprobe`` nearest
     centroid lists. ``nprobe >= nlist`` reproduces knn_brute exactly.
-    Same output schema as knn_brute."""
+    Same output schema as knn_brute. Pass ``centroids`` (from
+    ``train_ivf``) to skip training — the production shape: train once,
+    reuse across query batches."""
     q = _norm_rows(np.asarray(queries, dtype=np.float64))
-    cent = _kmeans(_hash_sample(emb, id_col, vec_col, sample_size), nlist, kmeans_iters, seed)
+    cent = (
+        _norm_rows(np.asarray(centroids, dtype=np.float64))
+        if centroids is not None
+        else train_ivf(emb, nlist, id_col=id_col, vec_col=vec_col, seed=seed,
+                       sample_size=sample_size, kmeans_iters=kmeans_iters)
+    )
     nlist = len(cent)
     nprobe = min(nprobe, nlist)
     # per-query probed lists: nprobe nearest centroids by cosine

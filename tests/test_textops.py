@@ -220,8 +220,12 @@ def test_knn_ivf_exact_and_recall(ray_session):
     pd.testing.assert_frame_equal(
         full[["query_id", "rank", "vec_id"]], exact[["query_id", "rank", "vec_id"]]
     )
-    # nprobe=2 of 8: approximate mode still finds the home cluster
-    approx = knn_ivf(ds, q, k=5, nlist=8, nprobe=2, sample_size=200)
+    # nprobe=2 of 8: approximate mode still finds the home cluster;
+    # exercises the train-once path (centroids reused)
+    from kkray.textops import train_ivf
+
+    cent = train_ivf(ds, nlist=8, sample_size=200)
+    approx = knn_ivf(ds, q, k=5, nlist=8, nprobe=2, centroids=cent)
     for qi in range(2):
         e = set(exact[exact["query_id"] == qi]["vec_id"].to_numpy().tolist())
         a = set(approx[approx["query_id"] == qi]["vec_id"].to_numpy().tolist())
