@@ -80,6 +80,10 @@ def _dense_graph(src, dst, num_parts=8):
 PR_ITERS = 10
 PR_DAMPING = 0.85
 LP_ITERS = 3
+HITS_ITERS = 5
+BFS_CAP = 64  # distance cap == engine max_iters == SQL recursion bound
+KCORE_K = 68  # nontrivial partial core on the cooc graph at sf0.001 AND sf0.01
+KCORE_SQL_ROUNDS = 12  # >= observed peel rounds (7 worst case) at both SFs
 
 
 def _pagerank_sql() -> str:
@@ -148,6 +152,81 @@ reach(v, lab) AS (
     WHERE r.lab < e.dst
 )
 SELECT v AS partkey, MIN(lab) AS component FROM reach GROUP BY v"""
+
+
+def _hits_sql() -> str:
+    """Unrolled fixed-iteration HITS (auth = normalize2(A^T hub), hub =
+    normalize2(A auth)), matching kkray.analytics.hits exactly."""
+    pre = f"""
+WITH edges AS MATERIALIZED ({_ORDER_CHAIN_SQL}),
+verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+hub0 AS (SELECT v, 1.0 AS s FROM verts)"""
+    its = []
+    for k in range(1, HITS_ITERS + 1):
+        p = k - 1
+        its.append(
+            f""",
+ar{k} AS MATERIALIZED (SELECT e.dst AS v, SUM(h.s) AS s FROM edges e JOIN hub{p} h ON e.src=h.v GROUP BY 1),
+an{k} AS MATERIALIZED (SELECT sqrt(SUM(s*s)) AS n FROM ar{k}),
+auth{k} AS MATERIALIZED (SELECT vt.v, COALESCE(r.s,0)/(SELECT n FROM an{k}) AS s
+            FROM verts vt LEFT JOIN ar{k} r ON vt.v=r.v),
+hr{k} AS MATERIALIZED (SELECT e.src AS v, SUM(a.s) AS s FROM edges e JOIN auth{k} a ON e.dst=a.v GROUP BY 1),
+hn{k} AS MATERIALIZED (SELECT sqrt(SUM(s*s)) AS n FROM hr{k}),
+hub{k} AS MATERIALIZED (SELECT vt.v, COALESCE(r.s,0)/(SELECT n FROM hn{k}) AS s
+            FROM verts vt LEFT JOIN hr{k} r ON vt.v=r.v)"""
+        )
+    return (
+        pre
+        + "".join(its)
+        + f"""
+SELECT a.v AS partkey, ROUND(a.s, 6) AS auth, ROUND(h.s, 6) AS hub
+FROM auth{HITS_ITERS} a JOIN hub{HITS_ITERS} h ON a.v = h.v"""
+    )
+
+
+def _bfs_sql() -> str:
+    """Min hop distance from the smallest vertex id via a depth-capped
+    recursive CTE (UNION dedups (v,d) pairs and d <= cap bounds the
+    recursion, so it terminates on cyclic graphs); unreachable -> -1."""
+    # NB: inside WITH RECURSIVE, DuckDB gives any `X UNION Y`-shaped CTE
+    # recursive-union semantics (dedup across iterations only), so `verts`
+    # must dedup explicitly with DISTINCT over UNION ALL.
+    return f"""
+WITH RECURSIVE edges AS MATERIALIZED ({_ORDER_CHAIN_SQL}),
+verts AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+walk(v, d) AS (
+    SELECT (SELECT MIN(v) FROM verts), 0
+    UNION
+    SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.v WHERE w.d < {BFS_CAP}
+)
+SELECT vt.v AS partkey, COALESCE(m.d, -1) AS dist
+FROM verts vt LEFT JOIN (SELECT v, MIN(d) AS d FROM walk GROUP BY v) m ON vt.v = m.v"""
+
+
+def _kcore_sql() -> str:
+    """Unrolled synchronous k-core peel: keep_i = {{v in keep_(i-1) :
+    degree within keep_(i-1) >= k}} — identical to the engine's
+    simultaneous-removal rounds; unroll count covers convergence."""
+    pre = f"""
+WITH edges AS MATERIALIZED ({_COOC_BOTH_SQL}),
+verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+keep0 AS MATERIALIZED (SELECT v FROM verts)"""
+    its = []
+    for i in range(1, KCORE_SQL_ROUNDS + 1):
+        p = i - 1
+        its.append(
+            f""",
+deg{i} AS MATERIALIZED (SELECT e.src AS v, count(*) AS d FROM edges e
+           JOIN keep{p} a ON e.src = a.v JOIN keep{p} b ON e.dst = b.v GROUP BY 1),
+keep{i} AS MATERIALIZED (SELECT v FROM deg{i} WHERE d >= {KCORE_K})"""
+        )
+    return (
+        pre
+        + "".join(its)
+        + f"""
+SELECT vt.v AS partkey, CASE WHEN k.v IS NULL THEN 0 ELSE 1 END AS in_kcore
+FROM verts vt LEFT JOIN keep{KCORE_SQL_ROUNDS} k ON vt.v = k.v"""
+    )
 
 
 # ---------------------------------------------------------------- queries
@@ -243,6 +322,37 @@ def _q_triangles(sf_dir: str):
     with g:
         n = triangle_count(g)
     return pd.DataFrame({"triangles": [n]})
+
+
+def _q_hits(sf_dir: str):
+    from kkray.analytics import hits
+
+    src, dst = _chain_arrays(sf_dir)
+    g, verts = _dense_graph(src, dst)
+    with g:
+        auth, hub = hits(g, iters=HITS_ITERS)
+    return pd.DataFrame({"partkey": verts, "auth": np.round(auth, 6), "hub": np.round(hub, 6)})
+
+
+def _q_bfs(sf_dir: str):
+    from kkray.analytics import bfs_distances
+
+    src, dst = _chain_arrays(sf_dir)
+    g, verts = _dense_graph(src, dst)
+    with g:
+        # dense id 0 == verts[0] == the smallest partkey (np.unique sorts)
+        dist = bfs_distances(g, 0, max_iters=BFS_CAP)
+    return pd.DataFrame({"partkey": verts, "dist": dist})
+
+
+def _q_kcore(sf_dir: str):
+    from kkray.analytics import kcore
+
+    src, dst = _cooc_arrays(sf_dir)
+    g, verts = _dense_graph(src, dst)
+    with g:
+        member = kcore(g, k=KCORE_K)
+    return pd.DataFrame({"partkey": verts, "in_kcore": member})
 
 
 def _q_deepwalk(sf_dir: str):
@@ -613,6 +723,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_cc,
         "label_propagation_3iter": _q_lp,
         "triangle_count": _q_triangles,
+        "hits_5iter": _q_hits,
+        "bfs_hops": _q_bfs,
+        "kcore_membership": _q_kcore,
         # walker apps (SURVEY §2.4) — distribution-tested in pytest; driver
         # check is rows-only
         "deepwalk_paths": _q_deepwalk,
@@ -665,6 +778,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_10iter": _pagerank_sql(),
         "connected_components": _cc_sql(),
         "label_propagation_3iter": _lp_sql(),
+        "hits_5iter": _hits_sql(),
+        "bfs_hops": _bfs_sql(),
+        "kcore_membership": _kcore_sql(),
         "triangle_count": f"""
             WITH e AS MATERIALIZED ({_COOC_HALF_SQL})
             SELECT count(*) AS triangles

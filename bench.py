@@ -67,6 +67,7 @@ def run_benchmarks() -> dict:
 
             def __exit__(self, *a):
                 queries[name] = round(time.perf_counter() - self.t0, 3)
+                print(f"[bench] {name}: {queries[name]}s", file=sys.stderr, flush=True)
 
         return _T()
 
@@ -81,6 +82,7 @@ def run_benchmarks() -> dict:
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         queries[name] = round(best, 3)
+        print(f"[bench] {name}: {queries[name]}s (best of {reps})", file=sys.stderr, flush=True)
         return out
 
     # warm the page cache (measure compute+shuffle, not first disk read)

@@ -654,5 +654,196 @@ class ShardCore(WalkMixin):
             total += int(probe_u64_hash(table, mask, keys).sum())
         return total
 
+    # ------------------- HITS (hubs & authorities) --------------------- #
+    # auth_k = normalize2(A^T hub_{k-1}); hub_k = normalize2(A auth_k).
+    # The auth update PUSHES hub mass along out-edges with the same
+    # dst-sorted reduceat combiner as pr_scatter; the hub update PULLS
+    # neighbour auth values through a static distributed value join
+    # (unique out-neighbours bucketed by owner — the same join layout as
+    # the triangle degree join, built ONCE at init, reused every
+    # iteration: O(unique dst) per shard, no dense O(V) structure).
+    def hits_init(self):
+        if len(self.hub_vids):
+            raise ValueError("HITS needs full adjacency: build without split_threshold")
+        self._auth = np.zeros(self.csr.size, dtype=np.float64)
+        self._hub = np.ones(self.csr.size, dtype=np.float64)
+        uniq = np.unique(self.csr.indices)
+        parts = part_of(uniq, self.boundaries)
+        self._hits_uniq = uniq  # sorted -> contiguous owner buckets
+        self._hits_uniq_bounds = np.searchsorted(parts, np.arange(self.num_parts + 1))
+        self._hits_edge_idx = np.searchsorted(uniq, self.csr.indices)
+        self._hits_src_idx = np.repeat(np.arange(self.csr.size, dtype=np.int64), self.outdeg)
+
+    def hits_requests(self):
+        """Static per-owner unique out-neighbour id buckets (fetched once;
+        the driver re-routes the same refs every iteration)."""
+        b = self._hits_uniq_bounds
+        return tuple(self._hits_uniq[b[p] : b[p + 1]] for p in range(self.num_parts))
+
+    def hits_scatter(self):
+        """Push hub along out-edges: P per-target partial sums, density-
+        adaptive sparse/dense exactly like pr_scatter (no degree division,
+        no dangling term)."""
+        per_edge = self._hub[self._r_src_idx]
+        out = []
+        for p in range(self.num_parts):
+            s, e = self._route_bounds[p], self._route_bounds[p + 1]
+            starts = self._seg_starts[p]
+            nseg = len(starts) if e > s else 0
+            psize = self.part_size(p)
+            sums = np.add.reduceat(per_edge[s:e], starts) if nseg else None
+            if nseg and nseg * 2 < psize:
+                out.append((self._seg_dsts[p], sums))
+                continue
+            acc = np.zeros(psize, dtype=np.float64)
+            if nseg:
+                acc[self._seg_dsts[p]] = sums
+            out.append(acc)
+        return tuple(out)
+
+    def hits_gather_auth(self, *partials) -> float:
+        acc = np.zeros(self.csr.size, dtype=np.float64)
+        for part in partials:
+            if isinstance(part, tuple):
+                acc[part[0]] += part[1]
+            else:
+                acc += part
+        self._auth = acc
+        return float((acc * acc).sum())
+
+    def hits_gather_auth_packed(self, packed) -> float:
+        """num_parts==1 path (a bare ref holds the still-packed 1-tuple)."""
+        return self.hits_gather_auth(*packed)
+
+    def hits_scale(self, which: str, norm: float):
+        if norm > 0:
+            if which == "auth":
+                self._auth /= norm
+            else:
+                self._hub /= norm
+
+    def hits_lookup_auth(self, *id_batches):
+        """Answer auth-value queries for owned ids (O(query) not O(V))."""
+        return tuple(self._auth[np.asarray(ids, dtype=np.int64) - self.lo] for ids in id_batches)
+
+    def hits_update_hub(self, *value_batches) -> float:
+        """hub = Σ_out auth(neighbour); responses aligned with the
+        hits_requests owner buckets. Returns the local Σ hub² term."""
+        vals = np.empty(len(self._hits_uniq), dtype=np.float64)
+        b = self._hits_uniq_bounds
+        for p, batch in enumerate(value_batches):
+            vals[b[p] : b[p + 1]] = batch
+        self._hub = np.bincount(
+            self._hits_src_idx, weights=vals[self._hits_edge_idx], minlength=self.csr.size
+        ).astype(np.float64, copy=False)
+        return float((self._hub * self._hub).sum())
+
+    def hits_update_hub_local(self) -> float:
+        """num_parts==1: the shard owns every vertex — skip the exchange."""
+        return self.hits_update_hub(*(self._auth[ids - self.lo] for ids in self.hits_requests()))
+
+    def hits_get_auth(self):
+        return self.lo, self._auth
+
+    def hits_get_hub(self):
+        return self.lo, self._hub
+
+    def hits_set(self, auth: np.ndarray, hub: np.ndarray):
+        self._auth = np.asarray(auth, dtype=np.float64).copy()
+        self._hub = np.asarray(hub, dtype=np.float64).copy()
+
+    # ----------------- BFS hop distances (frontier min) ----------------- #
+    # Same delta-frontier shape as connected components: only vertices
+    # whose distance improved last superstep send (dist+1) along their
+    # out-edges; sender-side segment-min combiner keeps the exchange at
+    # O(unique dst) per partition pair.
+    def bfs_init(self, source: int):
+        self.dist = np.full(self.csr.size, self._I64MAX, dtype=np.int64)
+        if self.lo <= source < self.hi:
+            self.dist[source - self.lo] = 0
+        self._bfs_changed = self.dist != self._I64MAX
+
+    def bfs_scatter(self):
+        vals_all = (np.where(self._bfs_changed, self.dist, self._I64MAX - 1) + 1)[self._r_src_idx]
+        out = []
+        for p in range(self.num_parts):
+            s, e = self._route_bounds[p], self._route_bounds[p + 1]
+            starts = self._seg_starts[p]
+            if e > s and len(starts):
+                mins = np.minimum.reduceat(vals_all[s:e], starts)
+                live = mins != self._I64MAX
+                out.append((self._seg_dsts[p][live], mins[live]))
+            else:
+                out.append((np.empty(0, np.int32), np.empty(0, np.int64)))
+        return tuple(out)
+
+    def bfs_gather(self, *partials) -> int:
+        new = self.dist.copy()
+        for dsts, mins in partials:
+            if len(dsts):
+                np.minimum.at(new, dsts, mins)
+        self._bfs_changed = new < self.dist
+        changed = int(self._bfs_changed.sum())
+        self.dist = new
+        return changed
+
+    def bfs_gather_packed(self, packed) -> int:
+        return self.bfs_gather(*packed)
+
+    def bfs_get(self):
+        return self.lo, self.dist
+
+    def bfs_set(self, values: np.ndarray):
+        self.dist = np.asarray(values, dtype=np.int64).copy()
+        # conservative after resume: re-send every known distance once
+        self._bfs_changed = self.dist != self._I64MAX
+
+    # --------------------- k-core (synchronous peel) -------------------- #
+    # Run on the undirected expansion (like cc/triangles). Each round
+    # simultaneously removes alive vertices with residual degree < k and
+    # routes per-dst decrement counts (segment sums over the removed
+    # sources — message volume O(unique dst of removed), shrinking fast).
+    def kcore_init(self, k: int):
+        self._kc_k = int(k)
+        self._kc_alive = np.ones(self.csr.size, dtype=bool)
+        self._kc_deg = self.outdeg_full.astype(np.int64).copy()
+
+    def kcore_scatter(self):
+        """One peel round; last return is the local removed count (the
+        termination Allreduce term — always P+1 >= 2 returns, so the
+        num_returns=1 packing pitfall can't arise)."""
+        removed = self._kc_alive & (self._kc_deg < self._kc_k)
+        self._kc_alive[removed] = False
+        n_rm = int(removed.sum())
+        out = []
+        if n_rm:
+            per_edge = removed[self._r_src_idx].astype(np.int64)
+        for p in range(self.num_parts):
+            s, e = self._route_bounds[p], self._route_bounds[p + 1]
+            starts = self._seg_starts[p]
+            if n_rm and e > s and len(starts):
+                sums = np.add.reduceat(per_edge[s:e], starts)
+                live = sums > 0
+                out.append((self._seg_dsts[p][live], sums[live]))
+            else:
+                out.append((np.empty(0, np.int32), np.empty(0, np.int64)))
+        return (*out, n_rm)
+
+    def kcore_gather(self, *partials):
+        for dsts, decs in partials:
+            if len(dsts):
+                np.subtract.at(self._kc_deg, dsts, decs)
+
+    def kcore_get(self):
+        return self.lo, self._kc_alive.astype(np.int64)
+
+    def kc_deg_get(self):
+        return self.lo, self._kc_deg
+
+    def kcore_set(self, alive: np.ndarray, deg: np.ndarray, k: int):
+        self._kc_k = int(k)
+        self._kc_alive = np.asarray(alive, dtype=np.int64).astype(bool)
+        self._kc_deg = np.asarray(deg, dtype=np.int64).copy()
+
 
 GraphShard = ray.remote(ShardCore)

@@ -90,3 +90,57 @@ def triangle_oracle(src, dst, v):
             if w > u:
                 count += len([x for x in nbrs[u] & nbrs[w] if x > w])
     return count
+
+
+def hits_oracle(src, dst, v, iters):
+    """Dense HITS power iteration (L2-normalized each half-step)."""
+    hub = np.ones(v, dtype=np.float64)
+    auth = np.zeros(v, dtype=np.float64)
+    for _ in range(iters):
+        auth = np.zeros(v, dtype=np.float64)
+        np.add.at(auth, dst, hub[src])
+        n = np.linalg.norm(auth)
+        if n > 0:
+            auth /= n
+        hub = np.zeros(v, dtype=np.float64)
+        np.add.at(hub, src, auth[dst])
+        n = np.linalg.norm(hub)
+        if n > 0:
+            hub /= n
+    return auth, hub
+
+
+def bfs_oracle(src, dst, v, source):
+    """Level-synchronous BFS along directed edges; unreachable -> -1."""
+    INF = np.iinfo(np.int64).max
+    dist = np.full(v, INF, dtype=np.int64)
+    dist[source] = 0
+    order = np.argsort(src, kind="stable")
+    s_sorted, d_sorted = src[order], dst[order]
+    ptr = np.searchsorted(s_sorted, np.arange(v + 1))
+    frontier = np.array([source], dtype=np.int64)
+    d = 0
+    while len(frontier):
+        chunks = [d_sorted[ptr[u] : ptr[u + 1]] for u in frontier]
+        nbrs = np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+        new = nbrs[dist[nbrs] > d + 1] if len(nbrs) else nbrs
+        dist[new] = d + 1
+        frontier = new
+        d += 1
+    dist[dist == INF] = -1
+    return dist
+
+
+def kcore_oracle(src, dst, v, k):
+    """Synchronous peel on the undirected expansion (src/dst symmetric)."""
+    deg = np.bincount(src, minlength=v).astype(np.int64)
+    alive = np.ones(v, dtype=bool)
+    while True:
+        rm = alive & (deg < k)
+        if not rm.any():
+            break
+        alive[rm] = False
+        m = rm[src]
+        if m.any():
+            deg -= np.bincount(dst[m], minlength=v)
+    return alive.astype(np.int64)

@@ -87,3 +87,47 @@ def test_in_degrees_and_map_vertices(ray_session):
         assert total == 2.0 * len(src)
         nonzero = g.map_vertices(lambda vids, deg: (deg > 0).astype(float))
         assert nonzero == float(len(np.unique(src)))
+
+
+# ---------------- HITS / BFS / k-core (beyond-reference ops) ----------------
+from kkray.analytics import bfs_distances, hits, kcore  # noqa: E402
+
+from graphgen import bfs_oracle, hits_oracle, kcore_oracle  # noqa: E402
+
+
+@pytest.mark.parametrize("v,e,parts", [(60, 300, 1), (60, 300, 3), (500, 4000, 5)])
+def test_hits_matches_power_iteration(ray_session, v, e, parts):
+    src, dst = random_edges(v, e, seed=3 + v)
+    with Graph.from_arrays(src, dst, num_parts=parts, v_num=v) as g:
+        auth, hub = hits(g, iters=6)
+    ea, eh = hits_oracle(src, dst, v, iters=6)
+    assert np.allclose(auth, ea, atol=1e-9)
+    assert np.allclose(hub, eh, atol=1e-9)
+
+
+@pytest.mark.parametrize("v,e,parts", [(60, 150, 1), (60, 150, 4), (800, 3000, 5)])
+def test_bfs_distances_exact(ray_session, v, e, parts):
+    src, dst = random_edges(v, e, seed=17 + v)
+    source = int(src[0])
+    with Graph.from_arrays(src, dst, num_parts=parts, v_num=v) as g:
+        got = bfs_distances(g, source)
+    assert np.array_equal(got, bfs_oracle(src, dst, v, source))
+
+
+def test_bfs_distance_cap(ray_session):
+    # path graph 0->1->2->3->4: cap at 2 supersteps leaves 3,4 unreached
+    src = np.array([0, 1, 2, 3], dtype=np.int64)
+    dst = np.array([1, 2, 3, 4], dtype=np.int64)
+    with Graph.from_arrays(src, dst, num_parts=2, v_num=5) as g:
+        got = bfs_distances(g, 0, max_iters=2)
+    assert got.tolist() == [0, 1, 2, -1, -1]
+
+
+@pytest.mark.parametrize("v,e,parts,k", [(50, 200, 1, 3), (50, 200, 3, 3), (400, 3000, 5, 6)])
+def test_kcore_exact(ray_session, v, e, parts, k):
+    src, dst = random_edges(v, e, seed=29 + v, undirected=True)
+    with Graph.from_arrays(src, dst, num_parts=parts, v_num=v) as g:
+        got = kcore(g, k=k)
+    exp = kcore_oracle(src, dst, v, k)
+    assert np.array_equal(got, exp)
+    assert 0 < exp.sum() < v  # the fixture must exercise both outcomes

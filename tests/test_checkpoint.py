@@ -235,3 +235,38 @@ def test_is_valid_edge_filter(ray_session):
     with Graph.from_dataset(ds, num_parts=3, v_num=v) as g:
         assert g.e_num == len(src)
         assert np.allclose(pagerank(g, max_iters=10, tol=None), exp, atol=1e-12)
+
+
+def test_hits_bfs_kcore_resume(ray_session, tmp_path):
+    """New iterative ops replay bit-identically from a mid-run checkpoint."""
+    from kkray.analytics import bfs_distances, hits, kcore
+
+    v, e = 200, 1200
+    src, dst = random_edges(v, e, seed=101)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        fa, fh = hits(g, iters=6)
+    ck = CheckpointManager(str(tmp_path), "hits")
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        hits(g, iters=3, checkpoint=ck)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        ra, rh = hits(g, iters=6, checkpoint=ck, resume=True)
+    assert np.array_equal(fa, ra) and np.array_equal(fh, rh)
+
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        fd = bfs_distances(g, int(src[0]))
+    ck = CheckpointManager(str(tmp_path), "bfs")
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        bfs_distances(g, int(src[0]), max_iters=2, checkpoint=ck, checkpoint_every=1)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        rd = bfs_distances(g, int(src[0]), checkpoint=ck, resume=True)
+    assert np.array_equal(fd, rd)
+
+    su, du = random_edges(v, 900, seed=102, undirected=True)
+    with Graph.from_arrays(su, du, num_parts=3, v_num=v) as g:
+        fk = kcore(g, k=4)
+    ck = CheckpointManager(str(tmp_path), "kcore")
+    with Graph.from_arrays(su, du, num_parts=3, v_num=v) as g:
+        kcore(g, k=4, max_rounds=2, checkpoint=ck, checkpoint_every=1)
+    with Graph.from_arrays(su, du, num_parts=3, v_num=v) as g:
+        rk = kcore(g, k=4, checkpoint=ck, resume=True)
+    assert np.array_equal(fk, rk)
