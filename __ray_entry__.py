@@ -42,6 +42,15 @@ _COOC_BOTH_SQL = f"""
     SELECT dst AS src, src AS dst FROM ({_COOC_HALF_SQL})
 """
 
+# weighted chain graph: weight = occurrence count of the consecutive pair
+_ORDER_CHAIN_W_SQL = """
+    SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+    WHERE a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+"""
+
 
 _GRAPH_CACHE: dict = {}
 
@@ -66,6 +75,20 @@ def _cooc_arrays(sf_dir: str):
     return _GRAPH_CACHE[key]
 
 
+def _chain_w_arrays(sf_dir: str):
+    key = ("chain_w", sf_dir)
+    if key not in _GRAPH_CACHE:
+        from kkray.pipelines.partgraph import order_chain_edges_weighted
+
+        df = order_chain_edges_weighted(sf_dir).to_pandas()
+        _GRAPH_CACHE[key] = (
+            df["src"].to_numpy(dtype=np.int64),
+            df["dst"].to_numpy(dtype=np.int64),
+            df["weight"].to_numpy(dtype=np.float64),
+        )
+    return _GRAPH_CACHE[key]
+
+
 def _dense_graph(src, dst, num_parts=8):
     """Remap sparse part keys to dense vids; return (graph, verts) where
     verts[i] is the part key of dense id i."""
@@ -82,6 +105,7 @@ PR_DAMPING = 0.85
 LP_ITERS = 3
 HITS_ITERS = 5
 BFS_CAP = 64  # distance cap == engine max_iters == SQL recursion bound
+SSSP_ROUNDS = 16  # >= observed Bellman-Ford convergence (4 worst case)
 KCORE_K = 68  # nontrivial partial core on the cooc graph at sf0.001 AND sf0.01
 KCORE_SQL_ROUNDS = 12  # >= observed peel rounds (7 worst case) at both SFs
 
@@ -113,6 +137,64 @@ pr{k} AS MATERIALIZED (SELECT vt.v,
         + "".join(its)
         + f"""
 SELECT v AS partkey, ROUND(score*(SELECT cnt FROM nn), 6) AS score_n FROM pr{PR_ITERS}"""
+    )
+
+
+def _pagerank_w_sql() -> str:
+    """Unrolled weighted PageRank (rank flows along out-edges proportional
+    to weight / Σ weight_out), matching pagerank(weighted=True) exactly."""
+    pre = f"""
+WITH edges AS MATERIALIZED ({_ORDER_CHAIN_W_SQL}),
+verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+nn AS MATERIALIZED (SELECT count(*) AS cnt FROM verts),
+outw AS MATERIALIZED (SELECT src AS v, SUM(weight) AS d FROM edges GROUP BY src),
+pr0 AS (SELECT v, 1.0/(SELECT cnt FROM nn) AS score FROM verts)"""
+    its = []
+    for k in range(1, PR_ITERS + 1):
+        p = k - 1
+        its.append(
+            f""",
+dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.score),0) AS s FROM pr{p} p LEFT JOIN outw o ON p.v=o.v WHERE o.v IS NULL),
+agg{k} AS MATERIALIZED (SELECT e.dst AS v, SUM(p.score*e.weight/o.d) AS s
+           FROM edges e JOIN pr{p} p ON e.src=p.v JOIN outw o ON e.src=o.v GROUP BY e.dst),
+pr{k} AS MATERIALIZED (SELECT vt.v,
+                 (1-{PR_DAMPING})/(SELECT cnt FROM nn)
+                 + {PR_DAMPING}*(COALESCE(a.s,0)+(SELECT s FROM dang{k})/(SELECT cnt FROM nn)) AS score
+          FROM verts vt LEFT JOIN agg{k} a ON vt.v=a.v)"""
+        )
+    return (
+        pre
+        + "".join(its)
+        + f"""
+SELECT v AS partkey, ROUND(score*(SELECT cnt FROM nn), 6) AS score_n FROM pr{PR_ITERS}"""
+    )
+
+
+def _sssp_sql() -> str:
+    """Unrolled synchronous Bellman-Ford from the smallest vertex id over
+    the weighted chain graph: d_i(v) = min(d_{i-1}(v), min over in-edges
+    d_{i-1}(u) + w). Round count covers convergence (once a round changes
+    nothing the fixpoint is reached, so engine early-exit == K rounds).
+    1e308 is the +inf sentinel; unreachable -> -1."""
+    pre = f"""
+WITH edges AS MATERIALIZED ({_ORDER_CHAIN_W_SQL}),
+verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+d0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT MIN(v) FROM verts) THEN 0.0 ELSE 1e308 END AS d FROM verts)"""
+    its = []
+    for i in range(1, SSSP_ROUNDS + 1):
+        p = i - 1
+        its.append(
+            f""",
+r{i} AS MATERIALIZED (SELECT e.dst AS v, MIN(p.d + e.weight) AS md
+          FROM edges e JOIN d{p} p ON e.src = p.v WHERE p.d < 1e308 GROUP BY 1),
+d{i} AS MATERIALIZED (SELECT vt.v, LEAST(p.d, COALESCE(r.md, 1e308)) AS d
+          FROM verts vt JOIN d{p} p ON vt.v = p.v LEFT JOIN r{i} r ON vt.v = r.v)"""
+        )
+    return (
+        pre
+        + "".join(its)
+        + f"""
+SELECT v AS partkey, CASE WHEN d >= 1e308 THEN -1.0 ELSE ROUND(d, 6) END AS cost FROM d{SSSP_ROUNDS}"""
     )
 
 
@@ -322,6 +404,33 @@ def _q_triangles(sf_dir: str):
     with g:
         n = triangle_count(g)
     return pd.DataFrame({"triangles": [n]})
+
+
+def _q_pagerank_weighted(sf_dir: str):
+    from kkray.analytics import pagerank
+
+    src, dst, w = _chain_w_arrays(sf_dir)
+    from kkray.graph import Graph
+
+    verts = np.unique(np.concatenate([src, dst]))
+    s, d = np.searchsorted(verts, src), np.searchsorted(verts, dst)
+    with Graph.from_arrays(s, d, num_parts=8, v_num=len(verts), weight=w) as g:
+        scores = pagerank(g, damping=PR_DAMPING, max_iters=PR_ITERS, tol=None, weighted=True)
+    return pd.DataFrame({"partkey": verts, "score_n": np.round(scores * len(verts), 6)})
+
+
+def _q_sssp(sf_dir: str):
+    from kkray.analytics import sssp
+    from kkray.graph import Graph
+
+    src, dst, w = _chain_w_arrays(sf_dir)
+    verts = np.unique(np.concatenate([src, dst]))
+    s, d = np.searchsorted(verts, src), np.searchsorted(verts, dst)
+    with Graph.from_arrays(s, d, num_parts=8, v_num=len(verts), weight=w) as g:
+        # dense id 0 == smallest partkey; rounds cap == SQL unroll count
+        cost = sssp(g, 0, max_iters=SSSP_ROUNDS)
+    cost = np.where(np.isfinite(cost), np.round(cost, 6), -1.0)
+    return pd.DataFrame({"partkey": verts, "cost": cost})
 
 
 def _q_hits(sf_dir: str):
@@ -723,6 +832,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_cc,
         "label_propagation_3iter": _q_lp,
         "triangle_count": _q_triangles,
+        "pagerank_weighted_10iter": _q_pagerank_weighted,
+        "sssp_costs": _q_sssp,
         "hits_5iter": _q_hits,
         "bfs_hops": _q_bfs,
         "kcore_membership": _q_kcore,
@@ -778,6 +889,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_10iter": _pagerank_sql(),
         "connected_components": _cc_sql(),
         "label_propagation_3iter": _lp_sql(),
+        "pagerank_weighted_10iter": _pagerank_w_sql(),
+        "sssp_costs": _sssp_sql(),
         "hits_5iter": _hits_sql(),
         "bfs_hops": _bfs_sql(),
         "kcore_membership": _kcore_sql(),

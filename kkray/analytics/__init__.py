@@ -5,3 +5,4 @@ from .triangles import triangle_count  # noqa: F401
 from .hits import hits  # noqa: F401
 from .bfs import bfs_distances  # noqa: F401
 from .kcore import kcore  # noqa: F401
+from .sssp import sssp  # noqa: F401

@@ -31,9 +31,15 @@ def pagerank(
     resume: bool = False,
     dtype: str = "float64",
     as_dataset: bool = False,
+    weighted: bool = False,
 ):
     """Returns the dense rank vector (sums to 1). Set tol=None for a fixed
     iteration count (the SQL-oracle-comparable mode).
+
+    weighted=True distributes each vertex's rank along its out-edges
+    proportional to edge weight (w / Σ w_out) instead of 1/outdeg; the
+    graph must be built with positive edge weights and without
+    split_threshold (hub ghost slices carry no weights).
 
     dtype="float32" halves the DRAM traffic of the per-edge gather and the
     O(P*V) exchange (the sweep is memory-bandwidth-bound); accumulation
@@ -50,9 +56,9 @@ def pagerank(
             ray.get([a.pr_set.remote(arr) for a, (_, arr) in zip(actors, parts)])
             start_iter = last + 1
         else:
-            ray.get([a.pr_init.remote(None, dtype) for a in actors])
+            ray.get([a.pr_init.remote(None, dtype, weighted) for a in actors])
     else:
-        ray.get([a.pr_init.remote(None, dtype) for a in actors])
+        ray.get([a.pr_init.remote(None, dtype, weighted) for a in actors])
 
     if tol is None and checkpoint is None and not len(graph.hub_vids) and max_iters > start_iter:
         # fixed-iteration fast path: submit EVERY superstep's scatters and

@@ -154,6 +154,11 @@ class ShardCore(WalkMixin):
         # within each part slice, sort edges by destination for reduceat
         self._r_dst_local = np.empty(len(dst), dtype=np.int32)
         self._r_src_idx = np.empty(len(dst), dtype=np.int32)
+        # weighted graphs keep the edge weights in routed order too, so
+        # weighted sweeps (pagerank weighted=True, sssp) reuse the same
+        # reduceat combiner layout
+        w = self.csr.weights
+        self._r_w = np.empty(len(dst), dtype=np.float64) if w is not None else None
         self._seg_starts: list[np.ndarray] = []
         self._seg_dsts: list[np.ndarray] = []
         for p in range(self.num_parts):
@@ -165,6 +170,8 @@ class ShardCore(WalkMixin):
             d_loc = d_loc[o2]
             self._r_dst_local[s:e] = d_loc
             self._r_src_idx[s:e] = src_idx[sl]
+            if w is not None:
+                self._r_w[s:e] = w[sl]
             if e > s:
                 starts = np.concatenate([[0], np.flatnonzero(np.diff(d_loc)) + 1])
             else:
@@ -281,8 +288,19 @@ class ShardCore(WalkMixin):
         return float(np.asarray(fn(vids, self.outdeg_full)).sum())
 
     # ------------------------- PageRank ------------------------------- #
-    def pr_init(self, value: float | None = None, dtype: str = "float64"):
+    def pr_init(self, value: float | None = None, dtype: str = "float64", weighted: bool = False):
         self._pr_dtype = np.dtype(dtype)
+        self._pr_weighted = bool(weighted)
+        if weighted:
+            if self.csr.weights is None:
+                raise ValueError("weighted pagerank needs a graph built with edge weights")
+            if len(self.hub_vids):
+                raise ValueError("weighted pagerank: build without split_threshold")
+            # per-vertex out-weight via prefix-sum difference (exact segment
+            # sums without reduceat's empty-segment pitfall); weights must
+            # be positive
+            cs = np.concatenate([[0.0], np.cumsum(self.csr.weights, dtype=np.float64)])
+            self._pr_wout = cs[self.csr.indptr[1:]] - cs[self.csr.indptr[:-1]]
         self.rank = np.full(
             self.csr.size, (1.0 / self.v_num) if value is None else value, dtype=self._pr_dtype
         )
@@ -299,10 +317,15 @@ class ShardCore(WalkMixin):
         hub_contrib: per-split-hub rank/deg values (driver-assembled from
         hub_values) — this shard folds its ghost edge slice in too."""
         dt = getattr(self, "_pr_dtype", np.float64)
-        contrib = np.where(self.outdeg_full > 0, self.rank / np.maximum(self.outdeg_full, 1), 0.0).astype(
-            dt, copy=False
-        )
-        per_edge = contrib[self._r_src_idx]
+        if getattr(self, "_pr_weighted", False):
+            # rank flows along each out-edge proportional to w / Σ w_out
+            contrib = np.where(self._pr_wout > 0, self.rank / np.maximum(self._pr_wout, 1e-300), 0.0)
+            per_edge = contrib[self._r_src_idx] * self._r_w
+        else:
+            contrib = np.where(
+                self.outdeg_full > 0, self.rank / np.maximum(self.outdeg_full, 1), 0.0
+            ).astype(dt, copy=False)
+            per_edge = contrib[self._r_src_idx]
         out = []
         for p in range(self.num_parts):
             s, e = self._route_bounds[p], self._route_bounds[p + 1]
@@ -338,7 +361,10 @@ class ShardCore(WalkMixin):
                     minlength=psize,
                 ).astype(dt, copy=False)
             out.append(acc)
-        dangling = float(self.rank[self.outdeg_full == 0].sum(dtype=np.float64))
+        if getattr(self, "_pr_weighted", False):
+            dangling = float(self.rank[self._pr_wout <= 0].sum(dtype=np.float64))
+        else:
+            dangling = float(self.rank[self.outdeg_full == 0].sum(dtype=np.float64))
         return (*out, dangling)
 
     def pr_gather(self, damping: float, *args) -> float:
@@ -797,6 +823,55 @@ class ShardCore(WalkMixin):
         self.dist = np.asarray(values, dtype=np.int64).copy()
         # conservative after resume: re-send every known distance once
         self._bfs_changed = self.dist != self._I64MAX
+
+    # ------------- SSSP (synchronous weighted Bellman-Ford) ------------- #
+    # Same delta-frontier shape as BFS, but the relaxation message is
+    # dist[src] + w(src,dst) (min-combined per segment via the routed
+    # weight array _r_w) and distances are float64. K rounds == min cost
+    # over <=K-hop paths, which is what the unrolled SQL oracle computes.
+    def sssp_init(self, source: int):
+        if self._r_w is None:
+            raise ValueError("sssp: needs a graph built with edge weights")
+        if len(self.hub_vids):
+            raise ValueError("sssp: needs full adjacency — build without split_threshold")
+        self.sdist = np.full(self.csr.size, np.inf, dtype=np.float64)
+        if self.lo <= source < self.hi:
+            self.sdist[source - self.lo] = 0.0
+        self._sssp_changed = np.isfinite(self.sdist)
+
+    def sssp_scatter(self):
+        vals_all = np.where(self._sssp_changed, self.sdist, np.inf)[self._r_src_idx] + self._r_w
+        out = []
+        for p in range(self.num_parts):
+            s, e = self._route_bounds[p], self._route_bounds[p + 1]
+            starts = self._seg_starts[p]
+            if e > s and len(starts):
+                mins = np.minimum.reduceat(vals_all[s:e], starts)
+                live = np.isfinite(mins)
+                out.append((self._seg_dsts[p][live], mins[live]))
+            else:
+                out.append((np.empty(0, np.int32), np.empty(0, np.float64)))
+        return tuple(out)
+
+    def sssp_gather(self, *partials) -> int:
+        new = self.sdist.copy()
+        for dsts, mins in partials:
+            if len(dsts):
+                np.minimum.at(new, dsts, mins)
+        self._sssp_changed = new < self.sdist
+        changed = int(self._sssp_changed.sum())
+        self.sdist = new
+        return changed
+
+    def sssp_gather_packed(self, packed) -> int:
+        return self.sssp_gather(*packed)
+
+    def sssp_get(self):
+        return self.lo, self.sdist
+
+    def sssp_set(self, values: np.ndarray):
+        self.sdist = np.asarray(values, dtype=np.float64).copy()
+        self._sssp_changed = np.isfinite(self.sdist)
 
     # --------------------- k-core (synchronous peel) -------------------- #
     # Run on the undirected expansion (like cc/triangles). Each round

@@ -43,6 +43,38 @@ def order_chain_edges(sf_dir: str) -> ray.data.Dataset:
     return dedup_edges(pairs)
 
 
+def order_chain_edges_weighted(sf_dir: str) -> ray.data.Dataset:
+    """Directed (src, dst, weight) part pairs where weight = how many times
+    the consecutive pair occurs across orders (the weighted-graph oracle
+    input: SQL `GROUP BY src, dst -> COUNT(*)`). Pre-aggregated per batch
+    (pyarrow group_by combiner) before the global two-key groupby, so the
+    shuffle moves partial counts, not the raw pair explode."""
+    pairs = consecutive_pairs(lineitem_ds(sf_dir), "l_orderkey", "l_linenumber", "l_partkey")
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
+        g = t.group_by(["src", "dst"]).aggregate([("src", "count")])
+        return pa.table(
+            {"src": g.column("src"), "dst": g.column("dst"), "n": g.column("src_count")}
+        )
+
+    counted = (
+        pairs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .sum("n")
+    )
+    return counted.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "weight": pc.cast(t.column("sum(n)"), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def cooccurrence_edges(sf_dir: str, num_partitions: int = 16) -> ray.data.Dataset:
     """Undirected distinct co-occurring part pairs (both directions).
     Expressed as a hash-partitioned self-join on the order key (the

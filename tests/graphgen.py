@@ -144,3 +144,30 @@ def kcore_oracle(src, dst, v, k):
         if m.any():
             deg -= np.bincount(dst[m], minlength=v)
     return alive.astype(np.int64)
+
+
+def pagerank_w_oracle(src, dst, w, v, damping=0.85, iters=10):
+    """Weighted PageRank: rank flows proportional to w / Σ w_out."""
+    wout = np.zeros(v)
+    np.add.at(wout, src, w)
+    r = np.full(v, 1.0 / v)
+    for _ in range(iters):
+        contrib = np.where(wout > 0, r / np.maximum(wout, 1e-300), 0.0)
+        acc = np.zeros(v)
+        np.add.at(acc, dst, contrib[src] * w)
+        dangling = r[wout <= 0].sum()
+        r = (1 - damping) / v + damping * (acc + dangling / v)
+    return r
+
+
+def sssp_oracle(src, dst, w, v, source):
+    """Synchronous Bellman-Ford to fixpoint; unreachable -> inf."""
+    dist = np.full(v, np.inf)
+    dist[source] = 0.0
+    for _ in range(v):
+        nd = dist.copy()
+        np.minimum.at(nd, dst, dist[src] + w)
+        if np.array_equal(nd, dist, equal_nan=True):
+            break
+        dist = nd
+    return dist

@@ -131,3 +131,60 @@ def test_kcore_exact(ray_session, v, e, parts, k):
     exp = kcore_oracle(src, dst, v, k)
     assert np.array_equal(got, exp)
     assert 0 < exp.sum() < v  # the fixture must exercise both outcomes
+
+
+@pytest.mark.parametrize("v,e,parts", [(60, 300, 1), (300, 2000, 4)])
+def test_pagerank_weighted_matches_oracle(ray_session, v, e, parts):
+    from graphgen import pagerank_w_oracle
+
+    src, dst = random_edges(v, e, seed=37 + v)
+    rng = np.random.Generator(np.random.Philox(v))
+    w = rng.integers(1, 6, len(src)).astype(np.float64)
+    exp = pagerank_w_oracle(src, dst, w, v, iters=10)
+    with Graph.from_arrays(src, dst, num_parts=parts, v_num=v, weight=w) as g:
+        # fixed-iteration bundle fast path
+        assert np.allclose(pagerank(g, max_iters=10, tol=None, weighted=True), exp, atol=1e-12)
+        # per-superstep scatter/gather path (tol set)
+        assert np.allclose(
+            pagerank(g, max_iters=10, tol=1e-30, weighted=True), exp, atol=1e-12
+        )
+    # all-equal weights degenerate to the unweighted kernel
+    with Graph.from_arrays(src, dst, num_parts=parts, v_num=v, weight=np.ones(len(src))) as g:
+        got_w = pagerank(g, max_iters=10, tol=None, weighted=True)
+    with Graph.from_arrays(src, dst, num_parts=parts, v_num=v) as g:
+        got_u = pagerank(g, max_iters=10, tol=None)
+    assert np.allclose(got_w, got_u, atol=1e-12)
+
+
+@pytest.mark.parametrize("v,e,parts", [(60, 300, 1), (300, 2000, 4), (1000, 8000, 7)])
+def test_sssp_matches_bellman_ford(ray_session, v, e, parts):
+    from kkray.analytics import sssp
+    from graphgen import sssp_oracle
+
+    src, dst = random_edges(v, e, seed=41 + v)
+    rng = np.random.Generator(np.random.Philox(v + 1))
+    w = (rng.random(len(src)) * 4 + 0.5).round(3)
+    exp = sssp_oracle(src, dst, w, v, int(src[0]))
+    with Graph.from_arrays(src, dst, num_parts=parts, v_num=v, weight=w) as g:
+        got = sssp(g, int(src[0]))
+    assert np.array_equal(got, exp, equal_nan=True)
+
+
+def test_sssp_hop_cap(ray_session):
+    # 0->1->2 (cost 1+1) vs direct 0->2 (cost 5): one round keeps the
+    # direct edge's 5, two rounds find the cheaper 2-hop path
+    src = np.array([0, 1, 0], dtype=np.int64)
+    dst = np.array([1, 2, 2], dtype=np.int64)
+    w = np.array([1.0, 1.0, 5.0])
+    with Graph.from_arrays(src, dst, num_parts=2, v_num=3, weight=w) as g:
+        one = sssp_import()(g, 0, max_iters=1)
+    with Graph.from_arrays(src, dst, num_parts=2, v_num=3, weight=w) as g:
+        two = sssp_import()(g, 0, max_iters=2)
+    assert one.tolist() == [0.0, 1.0, 5.0]
+    assert two.tolist() == [0.0, 1.0, 2.0]
+
+
+def sssp_import():
+    from kkray.analytics import sssp
+
+    return sssp

@@ -270,3 +270,20 @@ def test_hits_bfs_kcore_resume(ray_session, tmp_path):
     with Graph.from_arrays(su, du, num_parts=3, v_num=v) as g:
         rk = kcore(g, k=4, checkpoint=ck, resume=True)
     assert np.array_equal(fk, rk)
+
+
+def test_sssp_resume(ray_session, tmp_path):
+    from kkray.analytics import sssp
+
+    v, e = 200, 1200
+    src, dst = random_edges(v, e, seed=103)
+    rng = np.random.Generator(np.random.Philox(9))
+    w = (rng.random(len(src)) * 3 + 0.5).round(3)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v, weight=w) as g:
+        full = sssp(g, int(src[0]))
+    ck = CheckpointManager(str(tmp_path), "sssp")
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v, weight=w) as g:
+        sssp(g, int(src[0]), max_iters=2, checkpoint=ck, checkpoint_every=1)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v, weight=w) as g:
+        res = sssp(g, int(src[0]), checkpoint=ck, resume=True)
+    assert np.array_equal(full, res, equal_nan=True)
