@@ -552,6 +552,55 @@ def _q_page_edges(sf_dir: str):
     return df.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def _q_host_edges(sf_dir: str):
+    """Host-level (domain-graph) rollup of the synth page edge table, with
+    host names joined back — deterministic; rows-only driver check (the
+    synth pages aren't SQL-reconstructible), python-oracled in pytest."""
+    import ray.data
+    from kkray.io.edges import build_edge_table
+    from kkray.io.hostgraph import host_edges
+    from kkray.io.synth import synth_pages
+
+    pages_tbl, _ = synth_pages(1000, seed=42)
+    edges, url_map = build_edge_table(ray.data.from_arrow(pages_tbl))
+    he, hm = host_edges(edges, url_map)
+    he_df, hm_df = he.to_pandas(), hm.to_pandas()
+    hid2host = dict(zip(hm_df["hid"], hm_df["host"]))
+    he_df["src_host"] = he_df["src"].map(hid2host)
+    he_df["dst_host"] = he_df["dst"].map(hid2host)
+    out = he_df[["src_host", "dst_host", "weight"]].astype({"weight": "int64"})
+    return out.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+
+
+def _q_host_pagerank(sf_dir: str):
+    """Weighted PageRank over the host rollup (rows-only; the weighted
+    kernel itself is SQL-oracled via pagerank_weighted_10iter)."""
+    import ray.data
+    from kkray.analytics import pagerank
+    from kkray.graph import Graph
+    from kkray.io.edges import build_edge_table
+    from kkray.io.hostgraph import host_edges
+    from kkray.io.synth import synth_pages
+
+    pages_tbl, _ = synth_pages(1000, seed=42)
+    edges, url_map = build_edge_table(ray.data.from_arrow(pages_tbl))
+    he, hm = host_edges(edges, url_map)
+    he_df, hm_df = he.to_pandas(), hm.to_pandas()
+    n_hosts = len(hm_df)
+    with Graph.from_arrays(
+        he_df["src"].to_numpy(np.int64),
+        he_df["dst"].to_numpy(np.int64),
+        num_parts=2,
+        v_num=n_hosts,
+        weight=he_df["weight"].to_numpy(np.float64),
+    ) as g:
+        r = pagerank(g, max_iters=PR_ITERS, tol=None, weighted=True)
+    out = pd.DataFrame(
+        {"host": hm_df.sort_values("hid")["host"].to_numpy(), "score_n": np.round(r * n_hosts, 6)}
+    )
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def _q_doc_dedup_exact(sf_dir: str):
     import ray.data
     from kkray.textops import exact_dedup
@@ -847,6 +896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ingestion (SURVEY §2.1/§2.7 new scope)
         "extract_text_pages": _q_extract_text,
         "page_edges": _q_page_edges,
+        "host_edges_synth": _q_host_edges,
+        "host_pagerank_synth": _q_host_pagerank,
         # training-data ops (build brief)
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_token_counts": _q_doc_tokens,
