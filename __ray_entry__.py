@@ -170,6 +170,43 @@ SELECT v AS partkey, ROUND(score*(SELECT cnt FROM nn), 6) AS score_n FROM pr{PR_
     )
 
 
+PPR_SEEDS = 5  # personalized teleport set = the 5 smallest vertex ids
+
+
+def _pagerank_p_sql() -> str:
+    """Unrolled personalized PageRank: teleport and dangling mass land
+    uniformly on the seed set (the PPR_SEEDS smallest vertex ids), matching
+    pagerank(seeds=...) exactly."""
+    pre = f"""
+WITH edges AS MATERIALIZED ({_ORDER_CHAIN_SQL}),
+verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+outdeg AS MATERIALIZED (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
+nn AS MATERIALIZED (SELECT count(*) AS cnt FROM verts),
+seeds AS MATERIALIZED (SELECT v FROM verts ORDER BY v LIMIT {PPR_SEEDS}),
+reset AS MATERIALIZED (SELECT vt.v, CASE WHEN s.v IS NULL THEN 0.0 ELSE 1.0/{PPR_SEEDS} END AS r
+         FROM verts vt LEFT JOIN seeds s ON vt.v = s.v),
+pr0 AS (SELECT v, 1.0/(SELECT cnt FROM nn) AS score FROM verts)"""
+    its = []
+    for k in range(1, PR_ITERS + 1):
+        p = k - 1
+        its.append(
+            f""",
+dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.score),0) AS s FROM pr{p} p LEFT JOIN outdeg o ON p.v=o.v WHERE o.v IS NULL),
+agg{k} AS MATERIALIZED (SELECT e.dst AS v, SUM(p.score/o.d) AS s
+           FROM edges e JOIN pr{p} p ON e.src=p.v JOIN outdeg o ON e.src=o.v GROUP BY e.dst),
+pr{k} AS MATERIALIZED (SELECT vt.v,
+                 (1-{PR_DAMPING})*rs.r
+                 + {PR_DAMPING}*(COALESCE(a.s,0)+(SELECT s FROM dang{k})*rs.r) AS score
+          FROM verts vt JOIN reset rs ON vt.v=rs.v LEFT JOIN agg{k} a ON vt.v=a.v)"""
+        )
+    return (
+        pre
+        + "".join(its)
+        + f"""
+SELECT v AS partkey, ROUND(score*(SELECT cnt FROM nn), 6) AS score_n FROM pr{PR_ITERS}"""
+    )
+
+
 def _sssp_sql() -> str:
     """Unrolled synchronous Bellman-Ford from the smallest vertex id over
     the weighted chain graph: d_i(v) = min(d_{i-1}(v), min over in-edges
@@ -404,6 +441,23 @@ def _q_triangles(sf_dir: str):
     with g:
         n = triangle_count(g)
     return pd.DataFrame({"triangles": [n]})
+
+
+def _q_pagerank_personalized(sf_dir: str):
+    from kkray.analytics import pagerank
+
+    src, dst = _chain_arrays(sf_dir)
+    g, verts = _dense_graph(src, dst)
+    with g:
+        # dense ids 0..K-1 == the K smallest partkeys (np.unique sorts)
+        scores = pagerank(
+            g,
+            damping=PR_DAMPING,
+            max_iters=PR_ITERS,
+            tol=None,
+            seeds=np.arange(PPR_SEEDS, dtype=np.int64),
+        )
+    return pd.DataFrame({"partkey": verts, "score_n": np.round(scores * len(verts), 6)})
 
 
 def _q_pagerank_weighted(sf_dir: str):
@@ -881,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_cc,
         "label_propagation_3iter": _q_lp,
         "triangle_count": _q_triangles,
+        "pagerank_personalized_10iter": _q_pagerank_personalized,
         "pagerank_weighted_10iter": _q_pagerank_weighted,
         "sssp_costs": _q_sssp,
         "hits_5iter": _q_hits,
@@ -940,6 +995,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_10iter": _pagerank_sql(),
         "connected_components": _cc_sql(),
         "label_propagation_3iter": _lp_sql(),
+        "pagerank_personalized_10iter": _pagerank_p_sql(),
         "pagerank_weighted_10iter": _pagerank_w_sql(),
         "sssp_costs": _sssp_sql(),
         "hits_5iter": _hits_sql(),

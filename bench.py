@@ -143,13 +143,27 @@ def run_benchmarks() -> dict:
     V2, E2 = 4_000_000, 64_000_000
     bs = rng.integers(0, V2, E2)
     bd = rng.integers(0, V2, E2)
-    with Graph.from_arrays(bs, bd, num_parts=NUM_CPUS, v_num=V2) as gb:
+    bw = rng.random(E2) + 0.5
+    with Graph.from_arrays(bs, bd, num_parts=NUM_CPUS, v_num=V2, weight=bw) as gb:
         # float32 ranks: the sweep is DRAM-bandwidth-bound; float32
         # halves traffic, accumulation stays float64 (error ~1e-7
         # relative, inside the allclose 1e-6 rule). Oracle queries
         # keep float64.
         timed_best("pagerank_synth", lambda: pagerank(gb, max_iters=10, tol=None, dtype="float32"))
+        # weighted variant: same exchange, + one O(E) weight gather/mul
+        timed_best(
+            "pagerank_w_synth", lambda: pagerank(gb, max_iters=10, tol=None, weighted=True), reps=2
+        )
+        # frontier sweeps: per-superstep cost tracks the live frontier,
+        # not O(E) — BFS floods a random graph in ~O(diameter) rounds
+        from kkray.analytics import bfs_distances, sssp
+
+        extras["bfs_reached"] = int((timed_best("bfs_synth", lambda: bfs_distances(gb, 0), reps=2) >= 0).sum())
+        extras["sssp_reached"] = int(
+            np.isfinite(timed_best("sssp_synth", lambda: sssp(gb, 0), reps=2)).sum()
+        )
     extras["pagerank_synth_edges_per_sec_per_superstep"] = round(E2 / (queries["pagerank_synth"] / 10), 0)
+    extras["pagerank_w_synth_edges_per_sec_per_superstep"] = round(E2 / (queries["pagerank_w_synth"] / 10), 0)
     with WalkerPool.from_arrays(
         np.concatenate([bs, bd]), np.concatenate([bd, bs]), num_workers=max(2, NUM_CPUS - 2), v_num=V2
     ) as wp2:

@@ -32,9 +32,15 @@ def pagerank(
     dtype: str = "float64",
     as_dataset: bool = False,
     weighted: bool = False,
+    seeds: np.ndarray | None = None,
 ):
     """Returns the dense rank vector (sums to 1). Set tol=None for a fixed
     iteration count (the SQL-oracle-comparable mode).
+
+    seeds: a SMALL vertex-id array for personalized (topic-sensitive)
+    PageRank — teleport and dangling mass land uniformly on the seed set
+    instead of 1/N everywhere. The list is broadcast once; each shard
+    builds only its owned reset slice.
 
     weighted=True distributes each vertex's rank along its out-edges
     proportional to edge weight (w / Σ w_out) instead of 1/outdeg; the
@@ -56,9 +62,9 @@ def pagerank(
             ray.get([a.pr_set.remote(arr) for a, (_, arr) in zip(actors, parts)])
             start_iter = last + 1
         else:
-            ray.get([a.pr_init.remote(None, dtype, weighted) for a in actors])
+            ray.get([a.pr_init.remote(None, dtype, weighted, seeds) for a in actors])
     else:
-        ray.get([a.pr_init.remote(None, dtype, weighted) for a in actors])
+        ray.get([a.pr_init.remote(None, dtype, weighted, seeds) for a in actors])
 
     if tol is None and checkpoint is None and not len(graph.hub_vids) and max_iters > start_iter:
         # fixed-iteration fast path: submit EVERY superstep's scatters and

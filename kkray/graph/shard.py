@@ -288,9 +288,25 @@ class ShardCore(WalkMixin):
         return float(np.asarray(fn(vids, self.outdeg_full)).sum())
 
     # ------------------------- PageRank ------------------------------- #
-    def pr_init(self, value: float | None = None, dtype: str = "float64", weighted: bool = False):
+    def pr_init(
+        self,
+        value: float | None = None,
+        dtype: str = "float64",
+        weighted: bool = False,
+        seeds: np.ndarray | None = None,
+    ):
         self._pr_dtype = np.dtype(dtype)
         self._pr_weighted = bool(weighted)
+        if seeds is not None and len(seeds):
+            # personalized teleport: reset mass uniform over the seed set
+            # (seeds are a SMALL id list broadcast once; each shard builds
+            # only its owned slice — never an O(V) driver array)
+            s = np.asarray(seeds, dtype=np.int64)
+            loc = s[(s >= self.lo) & (s < self.hi)] - self.lo
+            self._pr_reset = np.zeros(self.csr.size, dtype=np.float64)
+            self._pr_reset[loc] = 1.0 / len(s)
+        else:
+            self._pr_reset = None
         if weighted:
             if self.csr.weights is None:
                 raise ValueError("weighted pagerank needs a graph built with edge weights")
@@ -382,12 +398,19 @@ class ShardCore(WalkMixin):
                 acc[part[0]] += part[1]
             else:
                 acc += part
-        new = (1.0 - damping) / self.v_num + damping * (acc + dangling_total / self.v_num)
+        new = self._pr_apply(damping, acc, dangling_total)
         dt = getattr(self, "_pr_dtype", np.float64)
         new = new.astype(dt, copy=False)
         delta = float(np.abs(new.astype(np.float64) - self.rank.astype(np.float64)).sum())
         self.rank = new
         return delta
+
+    def _pr_apply(self, damping: float, acc: np.ndarray, dangling_total: float) -> np.ndarray:
+        r = getattr(self, "_pr_reset", None)
+        if r is None:
+            return (1.0 - damping) / self.v_num + damping * (acc + dangling_total / self.v_num)
+        # personalized: teleport AND dangling mass land on the seed set
+        return (1.0 - damping) * r + damping * (acc + dangling_total * r)
 
     def pr_scatter_bundle(self, hub_contrib: np.ndarray | None = None):
         """One plasma object per sender per superstep: the P per-target
@@ -414,7 +437,7 @@ class ShardCore(WalkMixin):
             else:
                 acc += part
             dangling_total += float(b[P])
-        new = (1.0 - damping) / self.v_num + damping * (acc + dangling_total / self.v_num)
+        new = self._pr_apply(damping, acc, dangling_total)
         dt = getattr(self, "_pr_dtype", np.float64)
         new = new.astype(dt, copy=False)
         delta = float(np.abs(new.astype(np.float64) - self.rank.astype(np.float64)).sum())

@@ -171,3 +171,18 @@ def sssp_oracle(src, dst, w, v, source):
             break
         dist = nd
     return dist
+
+
+def pagerank_p_oracle(src, dst, v, seeds, damping=0.85, iters=10):
+    """Personalized PageRank: teleport + dangling mass on the seed set."""
+    reset = np.zeros(v)
+    reset[np.asarray(seeds, dtype=np.int64)] = 1.0 / len(seeds)
+    outdeg = np.bincount(src, minlength=v)
+    r = np.full(v, 1.0 / v)
+    for _ in range(iters):
+        contrib = np.where(outdeg > 0, r / np.maximum(outdeg, 1), 0.0)
+        acc = np.zeros(v)
+        np.add.at(acc, dst, contrib[src])
+        dangling = r[outdeg == 0].sum()
+        r = (1 - damping) * reset + damping * (acc + dangling * reset)
+    return r

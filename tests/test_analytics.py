@@ -188,3 +188,19 @@ def sssp_import():
     from kkray.analytics import sssp
 
     return sssp
+
+
+@pytest.mark.parametrize("v,e,parts", [(60, 300, 1), (300, 2000, 4)])
+def test_pagerank_personalized_matches_oracle(ray_session, v, e, parts):
+    from graphgen import pagerank_p_oracle
+
+    src, dst = random_edges(v, e, seed=53 + v)
+    seeds = np.array([0, 3, 7], dtype=np.int64)
+    exp = pagerank_p_oracle(src, dst, v, seeds, iters=10)
+    with Graph.from_arrays(src, dst, num_parts=parts, v_num=v) as g:
+        # bundle fast path and the per-superstep path
+        assert np.allclose(pagerank(g, max_iters=10, tol=None, seeds=seeds), exp, atol=1e-12)
+        assert np.allclose(pagerank(g, max_iters=10, tol=1e-30, seeds=seeds), exp, atol=1e-12)
+    # mass concentrates on/near the seeds and still sums to 1
+    assert abs(exp.sum() - 1.0) < 1e-9
+    assert exp[seeds].sum() > 3.0 / v
