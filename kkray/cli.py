@@ -4,7 +4,10 @@ Examples:
     ray job submit -- python -m kkray.cli ingest --pages pages.parquet --out /tmp/out
     ray job submit -- python -m kkray.cli pagerank --edges /tmp/out/edges --out /tmp/pr \
         --num-parts 16 --iters 50 --checkpoint /tmp/ckpt --resume
+    python -m kkray.cli pagerank --edges e.parquet --out /tmp/ppr --seeds 0,1,2   # personalized
     python -m kkray.cli walk --edges e.parquet --kind node2vec --walkers 100000 --p 2 --q 0.5
+    python -m kkray.cli sssp --edges we.parquet --weighted --source 0 --out /tmp/sssp
+    python -m kkray.cli hostgraph --edges /tmp/out/edges --url-map /tmp/out/url_map --out /tmp/hg
 
 Owns its Ray session (guarded init — a no-op inside a cluster job where
 Ray is already initialised).
@@ -60,11 +63,26 @@ def main(argv=None):
     pr.add_argument("--iters", type=int, default=50)
     pr.add_argument("--damping", type=float, default=0.85)
     pr.add_argument("--tol", type=float, default=1e-9)
+    pr.add_argument("--seeds", help="comma-separated vertex ids for personalized teleport")
 
     sub.add_parser("cc", parents=[common])
     lp = sub.add_parser("lp", parents=[common])
     lp.add_argument("--iters", type=int, default=5)
     sub.add_parser("triangles", parents=[common])
+
+    ht = sub.add_parser("hits", parents=[common])
+    ht.add_argument("--iters", type=int, default=20)
+    bf = sub.add_parser("bfs", parents=[common])
+    bf.add_argument("--source", type=int, default=0)
+    ss = sub.add_parser("sssp", parents=[common])
+    ss.add_argument("--source", type=int, default=0)
+    kc = sub.add_parser("kcore", parents=[common])
+    kc.add_argument("--k", type=int, required=True)
+
+    hg = sub.add_parser("hostgraph", help="page edges + url map -> host edge table")
+    hg.add_argument("--edges", required=True)
+    hg.add_argument("--url-map", required=True)
+    hg.add_argument("--out", required=True)
 
     wk = sub.add_parser("walk", parents=[common])
     wk.add_argument("--kind", choices=["deepwalk", "ppr", "node2vec", "mh"], default="deepwalk")
@@ -96,18 +114,66 @@ def main(argv=None):
 
     from .ckpt import CheckpointManager
 
-    ck = CheckpointManager(args.checkpoint, args.cmd) if args.checkpoint else None
+    ck = CheckpointManager(args.checkpoint, args.cmd) if getattr(args, "checkpoint", None) else None
 
     if args.cmd == "pagerank":
         from .analytics import pagerank
 
+        seeds = np.array([int(x) for x in args.seeds.split(",")], dtype=np.int64) if args.seeds else None
         with _load_graph(args) as g:
+            # --weighted loads edge weights AND switches rank flow to w/Σw_out
             scores = pagerank(
-                g, damping=args.damping, max_iters=args.iters, tol=args.tol, checkpoint=ck, resume=args.resume
+                g,
+                damping=args.damping,
+                max_iters=args.iters,
+                tol=args.tol,
+                checkpoint=ck,
+                resume=args.resume,
+                weighted=args.weighted,
+                seeds=seeds,
             )
             v = np.arange(g.v_num, dtype=np.int64)
         ray.data.from_arrow(pa.table({"vid": v, "pagerank": scores})).write_parquet(args.out)
         print(json.dumps({"cmd": "pagerank", "vertices": len(v), "sec": round(time.perf_counter() - t0, 2)}))
+    elif args.cmd == "hits":
+        from .analytics import hits
+
+        with _load_graph(args) as g:
+            auth, hub = hits(g, iters=args.iters, checkpoint=ck, resume=args.resume)
+            v = np.arange(g.v_num, dtype=np.int64)
+        ray.data.from_arrow(pa.table({"vid": v, "auth": auth, "hub": hub})).write_parquet(args.out)
+        print(json.dumps({"cmd": "hits", "vertices": len(v), "sec": round(time.perf_counter() - t0, 2)}))
+    elif args.cmd == "bfs":
+        from .analytics import bfs_distances
+
+        with _load_graph(args) as g:
+            dist = bfs_distances(g, args.source, checkpoint=ck, resume=args.resume)
+            v = np.arange(g.v_num, dtype=np.int64)
+        ray.data.from_arrow(pa.table({"vid": v, "dist": dist})).write_parquet(args.out)
+        print(json.dumps({"cmd": "bfs", "reached": int((dist >= 0).sum()), "sec": round(time.perf_counter() - t0, 2)}))
+    elif args.cmd == "sssp":
+        from .analytics import sssp
+
+        with _load_graph(args) as g:
+            cost = sssp(g, args.source, checkpoint=ck, resume=args.resume)
+            v = np.arange(g.v_num, dtype=np.int64)
+        ray.data.from_arrow(pa.table({"vid": v, "cost": cost})).write_parquet(args.out)
+        print(json.dumps({"cmd": "sssp", "reached": int(np.isfinite(cost).sum()), "sec": round(time.perf_counter() - t0, 2)}))
+    elif args.cmd == "kcore":
+        from .analytics import kcore
+
+        with _load_graph(args, undirected=True) as g:
+            member = kcore(g, k=args.k, checkpoint=ck, resume=args.resume)
+            v = np.arange(g.v_num, dtype=np.int64)
+        ray.data.from_arrow(pa.table({"vid": v, "in_kcore": member})).write_parquet(args.out)
+        print(json.dumps({"cmd": "kcore", "k": args.k, "core_size": int(member.sum()), "sec": round(time.perf_counter() - t0, 2)}))
+    elif args.cmd == "hostgraph":
+        from .io.hostgraph import host_edges
+
+        he, hm = host_edges(ray.data.read_parquet(args.edges), ray.data.read_parquet(args.url_map))
+        he.write_parquet(f"{args.out}/host_edges")
+        hm.write_parquet(f"{args.out}/host_map")
+        print(json.dumps({"cmd": "hostgraph", "hosts": hm.count(), "sec": round(time.perf_counter() - t0, 2)}))
     elif args.cmd in ("cc", "lp"):
         from .analytics import connected_components, label_propagation
 

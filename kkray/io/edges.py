@@ -54,9 +54,12 @@ def zip_with_index(ds: ray.data.Dataset, id_col: str = "vid") -> ray.data.Datase
     """
     refs = ds.to_arrow_refs()
 
+    # to_arrow_refs can still hand back PANDAS blocks (groupby/map_groups
+    # emits empty pandas blocks for unpopulated groups) — count and
+    # convert defensively
     @ray.remote
-    def _count(t: pa.Table) -> int:
-        return t.num_rows
+    def _count(t) -> int:
+        return t.num_rows if isinstance(t, pa.Table) else len(t)
 
     counts = ray.get([_count.remote(r) for r in refs])
     # zero-row blocks can come out of a groupby with a degenerate schema —
@@ -73,7 +76,9 @@ def zip_with_index(ds: ray.data.Dataset, id_col: str = "vid") -> ray.data.Datase
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.uint64)
 
     @ray.remote
-    def _add(t: pa.Table, off: int) -> pa.Table:
+    def _add(t, off: int) -> pa.Table:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
         ids = pa.array(np.arange(off, off + t.num_rows, dtype=np.uint64), pa.uint64())
         return t.append_column(id_col, ids)
 
