@@ -872,6 +872,17 @@ def _q_knn_ivf(sf_dir: str):
     return out[["query_vec_id", "rank", "vec_id"]].astype("int64").reset_index(drop=True)
 
 
+def _q_quality_filter(sf_dir: str):
+    """Composite keep/drop quality pre-filter (QualityFilter docstring has
+    the signal formulas; every signal reuses a SQL-parity count)."""
+    import ray.data
+    from kkray.textops import QualityFilter
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(QualityFilter, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_word_chars(sf_dir: str):
     """Non-whitespace char count per doc (vectorized str.count — oracle:
     length(regexp_replace(text,'\\s','','g')))."""
@@ -958,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _q_doc_tokens,
         "doc_char_digit_counts": _q_doc_chars,
         "doc_word_chars": _q_word_chars,
+        "doc_quality_filter": _q_quality_filter,
         "lang_counts": _q_lang_counts,
         "source_stats": _q_source_stats,
         "langid_pred": _q_langid,
@@ -1020,6 +1032,31 @@ def oracle_sql() -> dict[str, str]:
         "doc_word_chars": r"""
             SELECT doc_id, length(regexp_replace(text, '\s', '', 'g'))::BIGINT AS n_word_chars
             FROM documents""",
+        # composite quality pre-filter: every signal reuses a count whose
+        # engine<->SQL parity is independently hash-checked above; ratio
+        # divisions are the identical IEEE int/int double op on both sides
+        "doc_quality_filter": r"""
+            WITH sig AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+                     length(regexp_replace(text, '\s', '', 'g')) AS n_wchars
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_chars, n_tokens,
+                     n_digits / GREATEST(n_chars, 1) AS digit_ratio,
+                     n_wchars / GREATEST(n_tokens, 1) AS mean_wl
+              FROM sig)
+            SELECT doc_id, n_chars, n_tokens,
+                   ROUND(digit_ratio, 6) AS digit_ratio,
+                   ROUND(mean_wl, 6) AS mean_wl,
+                   CASE WHEN n_chars >= 200 AND n_tokens >= 20
+                             AND digit_ratio <= 0.3
+                             AND mean_wl BETWEEN 2.0 AND 4.8
+                        THEN 1 ELSE 0 END::BIGINT AS keep
+            FROM r""",
         "embedding_near_dup_pairs": """
             SELECT e1.vec_id::BIGINT AS a, e2.vec_id::BIGINT AS b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id

@@ -97,6 +97,63 @@ class QualityStats:
         return out
 
 
+class QualityFilter:
+    """documents(text) -> per-doc keep/drop decision from thresholded
+    quality signals (the training-corpus pre-filter shape: cheap C-regex
+    counts, one map_batches pass, no shuffle). Every signal reuses a
+    SQL-parity formula (length / regexp counts / IEEE int-int division),
+    so the whole filter is DuckDB-oracle-checkable:
+
+      n_chars     = len(text)
+      n_tokens    = whitespace tokens
+      digit_ratio = \\d count / max(n_chars, 1)
+      mean_wl     = non-whitespace chars / max(n_tokens, 1)
+      keep        = n_chars >= min_chars AND n_tokens >= min_tokens
+                    AND digit_ratio <= max_digit_ratio
+                    AND min_mean_wl <= mean_wl <= max_mean_wl
+    """
+
+    def __init__(
+        self,
+        min_chars: int = 200,
+        min_tokens: int = 20,
+        max_digit_ratio: float = 0.3,
+        min_mean_wl: float = 2.0,
+        max_mean_wl: float = 4.8,
+    ):
+        self.min_chars = min_chars
+        self.min_tokens = min_tokens
+        self.max_digit_ratio = max_digit_ratio
+        self.min_mean_wl = min_mean_wl
+        self.max_mean_wl = max_mean_wl
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        n_chars = texts.str.len().to_numpy().astype(np.int64)
+        n_tokens = texts.str.count(_TOK_RE).to_numpy().astype(np.int64)
+        n_digits = texts.str.count(_DIGIT_RE).to_numpy().astype(np.int64)
+        n_wchars = n_chars - texts.str.count(r"\s").to_numpy().astype(np.int64)
+        digit_ratio = n_digits / np.maximum(n_chars, 1)
+        mean_wl = n_wchars / np.maximum(n_tokens, 1)
+        keep = (
+            (n_chars >= self.min_chars)
+            & (n_tokens >= self.min_tokens)
+            & (digit_ratio <= self.max_digit_ratio)
+            & (mean_wl >= self.min_mean_wl)
+            & (mean_wl <= self.max_mean_wl)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "digit_ratio": np.round(digit_ratio, 6),
+                "mean_wl": np.round(mean_wl, 6),
+                "keep": keep.astype(np.int64),
+            }
+        )
+
+
 class LangId:
     """documents(text) -> +lang_pred: stopword-lexicon vote (deterministic;
     'und' when no lexicon hits; ties break to the alphabetically first

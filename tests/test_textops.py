@@ -354,3 +354,29 @@ def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session):
     # dropped, so no pairs survive (the documented approximation mode)
     capped = ngram_jaccard_pairs(docs, shingle_n=n, threshold=t, max_shingle_freq=1).to_pandas()
     assert len(capped) == 0
+
+
+def test_quality_filter_signals_and_edges():
+    """Pure-function check of QualityFilter on hostile inputs (no Ray)."""
+    import pandas as pd
+    from kkray.textops import QualityFilter
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "",  # empty -> all zero signals, drop
+                "12345 67890 11 22 33 " * 10,  # digit-heavy -> drop
+                "supercalifragilistic " * 40,  # mean_wl 20 -> drop
+                "the quick brown fox jumps over the lazy dog again and again " * 5,  # keep
+                None,  # null text behaves as ""
+            ],
+        }
+    )
+    out = QualityFilter()(docs)
+    assert out["keep"].tolist() == [0, 0, 0, 1, 0]
+    assert out.loc[0, "n_chars"] == 0 and out.loc[0, "n_tokens"] == 0
+    assert out.loc[1, "digit_ratio"] > 0.3
+    assert out.loc[2, "mean_wl"] > 4.8
+    # ratios are round-6 and in [0, 1] / plausible ranges
+    assert ((out["digit_ratio"] >= 0) & (out["digit_ratio"] <= 1)).all()
