@@ -872,6 +872,21 @@ def _q_knn_ivf(sf_dir: str):
     return out[["query_vec_id", "rank", "vec_id"]].astype("int64").reset_index(drop=True)
 
 
+TOP_TOKENS_K = 50
+
+
+def _q_top_tokens(sf_dir: str):
+    """Corpus-wide top-k token counts (vocabulary building): per-batch
+    value_counts combiner -> one groupby(token).sum -> per-batch top-k
+    candidates -> tiny driver merge. Tie-break (count DESC, token ASC)."""
+    import ray.data
+    from kkray.textops import top_tokens
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = top_tokens(docs, k=TOP_TOKENS_K)
+    return out.astype({"n": "int64"}).reset_index(drop=True)
+
+
 def _q_quality_filter(sf_dir: str):
     """Composite keep/drop quality pre-filter (QualityFilter docstring has
     the signal formulas; every signal reuses a SQL-parity count)."""
@@ -970,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_char_digit_counts": _q_doc_chars,
         "doc_word_chars": _q_word_chars,
         "doc_quality_filter": _q_quality_filter,
+        "top_tokens": _q_top_tokens,
         "lang_counts": _q_lang_counts,
         "source_stats": _q_source_stats,
         "langid_pred": _q_langid,
@@ -1057,6 +1073,12 @@ def oracle_sql() -> dict[str, str]:
                              AND mean_wl BETWEEN 2.0 AND 4.8
                         THEN 1 ELSE 0 END::BIGINT AS keep
             FROM r""",
+        "top_tokens": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+              FROM documents WHERE trim(text) <> ''),
+            c AS (SELECT token, COUNT(*)::BIGINT AS n FROM toks GROUP BY token)
+            SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 50""",
         "embedding_near_dup_pairs": """
             SELECT e1.vec_id::BIGINT AS a, e2.vec_id::BIGINT AS b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id

@@ -221,3 +221,30 @@ class Fingerprint:
             h = np.uint64(0xCBF29CE484222325) * pows[lens] + sums
         df["fingerprint"] = splitmix64(h)
         return df
+
+
+def top_tokens(docs, k: int = 50):
+    """Corpus-wide top-k whitespace tokens by count (vocabulary building).
+
+    100 TB shape: per-batch explode + value_counts (combiner — the shuffle
+    carries (token, partial_count) rows, not raw tokens), ONE global
+    groupby(token).sum, then a per-batch top-k candidate pass so only
+    O(k x blocks) rows reach the driver for the final merge. Deterministic
+    tie-break: (count DESC, token ASC). Returns a pandas DataFrame."""
+    import pyarrow as pa
+
+    def explode_count(df: pd.DataFrame) -> pa.Table:
+        ex = df["text"].fillna("").str.split().explode().dropna()
+        vc = ex.value_counts()
+        return pa.table(
+            {"token": pa.array(vc.index.to_numpy().astype(str)), "n": vc.to_numpy().astype(np.int64)}
+        )
+
+    counted = docs.map_batches(explode_count, batch_format="pandas").groupby("token").sum("n")
+
+    def topk_local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["sum(n)", "token"], ascending=[False, True]).head(k)
+
+    cands = counted.map_batches(topk_local, batch_format="pandas").to_pandas()
+    out = cands.sort_values(["sum(n)", "token"], ascending=[False, True]).head(k)
+    return out.rename(columns={"sum(n)": "n"}).reset_index(drop=True)[["token", "n"]]

@@ -380,3 +380,21 @@ def test_quality_filter_signals_and_edges():
     assert out.loc[2, "mean_wl"] > 4.8
     # ratios are round-6 and in [0, 1] / plausible ranges
     assert ((out["digit_ratio"] >= 0) & (out["digit_ratio"] <= 1)).all()
+
+
+def test_top_tokens_counts_and_tiebreak(ray_session):
+    import ray.data
+    from kkray.textops import top_tokens
+
+    docs = ray.data.from_items(
+        [
+            {"text": "b b b a a c"},
+            {"text": "a c  c"},  # double space: whitespace split, no empties
+            {"text": ""},
+            {"text": None},
+        ]
+    ).repartition(3)
+    out = top_tokens(docs, k=2)
+    # counts: a=3, b=3, c=3 -> tie-break token ASC -> a, b
+    assert out["token"].tolist() == ["a", "b"]
+    assert out["n"].tolist() == [3, 3]
