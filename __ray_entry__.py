@@ -945,6 +945,9 @@ def _q_emb_labels(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from kkray.relational.queries import (
+        customers_without_events,
+        distinct_users_per_event_type,
+        events_hopping_window,
         events_hourly_window,
         filter_pushdown_scan,
         pricing_summary,
@@ -1005,6 +1008,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_per_nation": lambda sf: revenue_per_nation(sf),
         "top_customers": lambda sf: top_customers(sf),
         "events_hourly_window": lambda sf: events_hourly_window(sf),
+        "events_hopping_window": lambda sf: events_hopping_window(sf),
+        "customers_without_events": lambda sf: customers_without_events(sf),
+        "distinct_users_per_event_type": lambda sf: distinct_users_per_event_type(sf),
         "sessionize_events": _q_sessionize,
         "asof_purchase_click": _q_asof,
         "range_join_error_purchases": _q_range_join,
@@ -1165,6 +1171,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n_events, round(sum(value),6) AS sum_value
             FROM events GROUP BY user_id, event_type, date_trunc('hour', ts)""",
+        # hopping 60min/15min window: each event lands in 4 overlapping
+        # windows (cross join with the 4 hop offsets)
+        "events_hopping_window": """
+            SELECT event_type,
+                   time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS window_start,
+                   count(*) AS n_events, round(sum(value),6) AS sum_value
+            FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+            GROUP BY 1, 2""",
+        "customers_without_events": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT user_id FROM events)
+            ORDER BY c_custkey""",
+        "distinct_users_per_event_type": """
+            SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type""",
         # gap-based sessionization == lag/cumsum window formulation
         "sessionize_events": """
             WITH x AS (

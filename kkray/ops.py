@@ -18,6 +18,30 @@ import pyarrow as pa
 import ray.data
 
 
+def collect_arrow(ds: ray.data.Dataset, empty_schema: pa.Schema | None = None) -> pa.Table:
+    """Collect a SMALL dataset into one arrow table, tolerating the pandas
+    blocks ``to_arrow_refs`` can hand back (groupby/map_groups emits empty
+    pandas blocks for unpopulated groups). Only for broadcast-sized data —
+    never call on anything edge- or corpus-sized."""
+    import ray as _ray
+
+    tabs = []
+    for t in _ray.get(ds.to_arrow_refs()):
+        if not isinstance(t, pa.Table):
+            if len(t) == 0:
+                continue
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows:
+            tabs.append(t)
+    if tabs:
+        return pa.concat_tables(tabs)
+    if empty_schema is not None:
+        return empty_schema.empty_table()
+    schema = ds.schema(fetch_if_missing=True)
+    base = getattr(schema, "base_schema", None) if schema is not None else None
+    return pa.schema(list(base) if base is not None else []).empty_table()
+
+
 def pa_from_pandas(df: pd.DataFrame) -> pa.Table:
     """pandas -> arrow WITHOUT the b'pandas' schema metadata: pyarrow
     schemas carrying that metadata are unhashable (hash(schema) raises

@@ -109,6 +109,107 @@ def events_hourly_window(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "event_type", "window_start"]).reset_index(drop=True)
 
 
+def customers_without_events(sf_dir: str) -> pd.DataFrame:
+    """Anti-join: customers who never appear in the events stream. The
+    event-side key set is collected DISTINCT (per-batch unique combiner,
+    one groupby — small relative to the fact table), broadcast once via
+    ray.put, and probed per customer batch with pc.is_in — no row-level
+    shuffle of the customer table. At a larger right side, swap the
+    broadcast for a hash-partitioned left join + null filter."""
+    import ray as _ray
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    from ..ops import collect_arrow, distinct_rows
+
+    keys_tbl = collect_arrow(
+        distinct_rows(ev, ["user_id"]), empty_schema=pa.schema([("user_id", pa.int64())])
+    )
+    keys_ref = _ray.put(keys_tbl.column("user_id").combine_chunks())
+
+    class AntiProbe:
+        def __init__(self):
+            self.keys = _ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            hit = pc.is_in(t.column("c_custkey"), value_set=self.keys)
+            return t.filter(pc.invert(hit))
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    out = cust.map_batches(AntiProbe, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    if "c_custkey" not in out.columns:  # all-filtered: schema-less empty df
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"), "c_name": pd.Series([], dtype="str")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def distinct_users_per_event_type(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped distinct count: per-batch (event_type, user_id) dedup
+    combiner -> global two-key distinct -> grouped count. The shuffle
+    carries unique pairs, not raw events."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    from ..ops import distinct_rows
+
+    pairs = distinct_rows(ev, ["event_type", "user_id"])
+    from ray.data.aggregate import Count
+
+    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users")).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_hopping_window(sf_dir: str, size_min: int = 60, hop_min: int = 15) -> pd.DataFrame:
+    """Hopping (sliding) window per event_type: each event lands in
+    size/hop overlapping windows. Vectorized explode inside map_batches
+    (np.repeat rows x np.tile window offsets — the shuffle then carries
+    per-batch grouped partials, not the raw 4x explode), then one global
+    grouped count/sum. Ordering-free like the tumbling variant."""
+    assert size_min % hop_min == 0
+    k = size_min // hop_min
+    hop_us = hop_min * 60_000_000
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        base = (
+            pc.floor_temporal(t.column("ts"), multiple=hop_min, unit="minute")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(base)
+        starts = np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64) * hop_us, n)
+        g = pa.table(
+            {
+                "event_type": pc.take(t.column("event_type"), pa.array(np.repeat(np.arange(n), k))),
+                "window_start": pa.array(starts),
+                "value": pc.take(t.column("value"), pa.array(np.repeat(np.arange(n), k))),
+            }
+        )
+        # per-batch combiner: partial count+sum per (type, window)
+        agg = g.group_by(["event_type", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": agg.column("event_type"),
+                "window_start": agg.column("window_start"),
+                "n_partial": agg.column("value_count"),
+                "sum_partial": agg.column("value_sum"),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ev.map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_partial", alias_name="n_events"), Sum("sum_partial", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    out["window_start"] = pd.to_datetime(out["window_start"], unit="us").astype("datetime64[us]")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
 def filter_pushdown_scan(sf_dir: str) -> pd.DataFrame:
     """Scan with column pruning + row filter pushed to the parquet read
     (predicate: high-value open orders)."""

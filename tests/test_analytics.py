@@ -69,10 +69,20 @@ def test_degree_aware_boundaries_balance():
 
 
 def test_empty_graph(ray_session):
-    with Graph.from_arrays(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), num_parts=2, v_num=4) as g:
+    from kkray.analytics import bfs_distances, hits, kcore, sssp
+
+    e0 = np.empty(0, dtype=np.int64)
+    with Graph.from_arrays(e0, e0, num_parts=2, v_num=4) as g:
         r = pagerank(g, max_iters=5)
         assert np.allclose(r, 0.25)
         assert triangle_count(g) == 0
+        assert bfs_distances(g, 0).tolist() == [0, -1, -1, -1]
+        assert kcore(g, k=1).tolist() == [0, 0, 0, 0]
+        auth, hub = hits(g, iters=3)
+        assert np.allclose(auth, 0) and np.allclose(hub, 0)
+    with Graph.from_arrays(e0, e0, num_parts=2, v_num=4, weight=np.empty(0)) as g:
+        got = sssp(g, 0)
+        assert got[0] == 0.0 and np.isinf(got[1:]).all()
 
 
 def test_in_degrees_and_map_vertices(ray_session):

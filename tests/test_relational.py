@@ -153,3 +153,23 @@ def test_grouped_top_k_matches_pandas(ray_session):
         .sort_values(["g", "id"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["g", "v", "id"]], want[["g", "v", "id"]])
+
+
+def test_hopping_window_covers_and_sums(ray_session):
+    """Each event must appear in exactly size/hop windows; per-type totals
+    are 4x the raw counts/sums."""
+    import duckdb
+    from kkray.relational.queries import events_hopping_window
+
+    sf = "/root/testdata/sf0.001"
+    out = events_hopping_window(sf)
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT event_type, count(*) n, sum(value) s FROM '{sf}/events.parquet' GROUP BY 1"
+    ).df()
+    got = out.groupby("event_type", as_index=False).agg(n=("n_events", "sum"), s=("sum_value", "sum"))
+    m = got.merge(raw, on="event_type", suffixes=("_w", "_raw"))
+    assert (m["n_w"] == 4 * m["n_raw"]).all()
+    assert np.allclose(m["s_w"], 4 * m["s_raw"], rtol=1e-9)
+    # window starts are 15-min aligned
+    assert (out["window_start"].astype("int64") % (15 * 60 * 1_000_000) == 0).all()
