@@ -947,6 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kkray.relational.queries import (
         customers_without_events,
         distinct_users_per_event_type,
+        value_quantiles_per_event_type,
         events_hopping_window,
         events_hourly_window,
         filter_pushdown_scan,
@@ -1011,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": lambda sf: events_hopping_window(sf),
         "customers_without_events": lambda sf: customers_without_events(sf),
         "distinct_users_per_event_type": lambda sf: distinct_users_per_event_type(sf),
+        "value_quantiles_per_event_type": lambda sf: value_quantiles_per_event_type(sf),
         "sessionize_events": _q_sessionize,
         "asof_purchase_click": _q_asof,
         "range_join_error_purchases": _q_range_join,
@@ -1185,6 +1187,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_custkey""",
         "distinct_users_per_event_type": """
             SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        # exact discrete quantiles: quantile_disc == sorted[ceil(q*n)-1],
+        # the identical element-pick rule grouped_quantile implements
+        "value_quantiles_per_event_type": """
+            SELECT event_type,
+                   ROUND(quantile_disc(value, 0.25), 6) AS q25,
+                   ROUND(quantile_disc(value, 0.50), 6) AS q50,
+                   ROUND(quantile_disc(value, 0.90), 6) AS q90
             FROM events GROUP BY event_type ORDER BY event_type""",
         # gap-based sessionization == lag/cumsum window formulation
         "sessionize_events": """

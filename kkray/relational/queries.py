@@ -156,6 +156,18 @@ def distinct_users_per_event_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def value_quantiles_per_event_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group discrete quantiles (q25/q50/q90) of event value —
+    grouped_quantile's sorted[ceil(q*n)-1] rule == DuckDB quantile_disc."""
+    from ..ops import grouped_quantile
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = grouped_quantile(ev, ["event_type"], "value", [0.25, 0.5, 0.9]).to_pandas()
+    for c in ("q25", "q50", "q90"):
+        out[c] = out[c].round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def events_hopping_window(sf_dir: str, size_min: int = 60, hop_min: int = 15) -> pd.DataFrame:
     """Hopping (sliding) window per event_type: each event lands in
     size/hop overlapping windows. Vectorized explode inside map_batches

@@ -173,3 +173,41 @@ def test_hopping_window_covers_and_sums(ray_session):
     assert np.allclose(m["s_w"], 4 * m["s_raw"], rtol=1e-9)
     # window starts are 15-min aligned
     assert (out["window_start"].astype("int64") % (15 * 60 * 1_000_000) == 0).all()
+
+
+def test_grouped_quantile_matches_numpy_rule(ray_session):
+    """grouped_quantile == sorted[ceil(q*n)-1] per group, multi-key too."""
+    import ray.data
+    from kkray.ops import grouped_quantile
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 7, n),
+            "k2": rng.choice(["x", "y"], n),
+            "v": rng.random(n).round(4),
+        }
+    )
+    got = (
+        grouped_quantile(ray.data.from_pandas(df).repartition(5), ["k1", "k2"], "v", [0.5, 0.9])
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+
+    def disc(s, q):
+        v = np.sort(s.to_numpy())
+        return v[max(int(np.ceil(q * len(v))), 1) - 1]
+
+    exp = (
+        df.groupby(["k1", "k2"])["v"]
+        .agg([("q50", lambda s: disc(s, 0.5)), ("q90", lambda s: disc(s, 0.9))])
+        .reset_index()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    assert (got["k1"].to_numpy() == exp["k1"].to_numpy()).all()
+    assert (got["k2"].to_numpy() == exp["k2"].to_numpy()).all()
+    assert np.array_equal(got["q50"].to_numpy(), exp["q50"].to_numpy())
+    assert np.array_equal(got["q90"].to_numpy(), exp["q90"].to_numpy())
