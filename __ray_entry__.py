@@ -947,6 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kkray.relational.queries import (
         customers_without_events,
         distinct_users_per_event_type,
+        sample_docs_per_lang,
         value_quantiles_per_event_type,
         events_hopping_window,
         events_hourly_window,
@@ -1013,6 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events": lambda sf: customers_without_events(sf),
         "distinct_users_per_event_type": lambda sf: distinct_users_per_event_type(sf),
         "value_quantiles_per_event_type": lambda sf: value_quantiles_per_event_type(sf),
+        "sample_docs_per_lang": lambda sf: sample_docs_per_lang(sf),
         "sessionize_events": _q_sessionize,
         "asof_purchase_click": _q_asof,
         "range_join_error_purchases": _q_range_join,
@@ -1188,6 +1190,15 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_event_type": """
             SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY event_type ORDER BY event_type""",
+        # deterministic stratified sample: k smallest multiplicative hash
+        # per group; identical mod arithmetic on both sides (int64-safe)
+        "sample_docs_per_lang": """
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY (doc_id * 2654435761) % 4294967291, doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 5 ORDER BY lang, doc_id""",
         # exact discrete quantiles: quantile_disc == sorted[ceil(q*n)-1],
         # the identical element-pick rule grouped_quantile implements
         "value_quantiles_per_event_type": """

@@ -223,3 +223,35 @@ def grouped_quantile(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Deterministic per-group sample: the k rows with the smallest keyed
+    multiplicative hash of ``id_col`` (h = id * 2654435761 mod 4294967291,
+    products stay inside int64) — the balanced-corpus-sampling shape
+    (k docs per language/source), reproducible across runs and
+    SQL-expressible (same arithmetic in an ORDER BY). Rides grouped_top_k,
+    so each input batch contributes at most k rows per group to the
+    shuffle."""
+    MUL, MOD = np.int64(2654435761), np.int64(4294967291)
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_h"] = (out[id_col].to_numpy().astype(np.int64) * MUL) % MOD
+        return out
+
+    picked = grouped_top_k(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        group_cols,
+        ["_h", id_col],
+        k=k,
+        descending=False,
+        num_shards=num_shards,
+    )
+    return picked.map_batches(lambda df: df.drop(columns=["_h"]), batch_format="pandas")

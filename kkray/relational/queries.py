@@ -156,6 +156,18 @@ def distinct_users_per_event_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def sample_docs_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Deterministic stratified sample: the k docs per language with the
+    smallest keyed multiplicative hash — reproducible balanced-corpus
+    sampling, SQL-expressible (same mod arithmetic in an ORDER BY)."""
+    from ..ops import stratified_sample
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    out = stratified_sample(docs, ["lang"], "doc_id", k=k).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["lang", "doc_id"]].sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 def value_quantiles_per_event_type(sf_dir: str) -> pd.DataFrame:
     """Exact per-group discrete quantiles (q25/q50/q90) of event value —
     grouped_quantile's sorted[ceil(q*n)-1] rule == DuckDB quantile_disc."""

@@ -211,3 +211,27 @@ def test_grouped_quantile_matches_numpy_rule(ray_session):
     assert (got["k2"].to_numpy() == exp["k2"].to_numpy()).all()
     assert np.array_equal(got["q50"].to_numpy(), exp["q50"].to_numpy())
     assert np.array_equal(got["q90"].to_numpy(), exp["q90"].to_numpy())
+
+
+def test_stratified_sample_deterministic_and_balanced(ray_session):
+    import ray.data
+    from kkray.ops import stratified_sample
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"grp": rng.choice(["a", "b", "c"], 900), "id": np.arange(900)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    s1 = stratified_sample(ds, ["grp"], "id", k=7).to_pandas().sort_values(["grp", "id"]).reset_index(drop=True)
+    s2 = stratified_sample(ds, ["grp"], "id", k=7).to_pandas().sort_values(["grp", "id"]).reset_index(drop=True)
+    assert s1.equals(s2)  # deterministic across runs
+    assert (s1.groupby("grp").size() == 7).all()
+    # matches the direct rule on the full frame
+    h = (df["id"].to_numpy().astype(np.int64) * np.int64(2654435761)) % np.int64(4294967291)
+    exp = (
+        df.assign(_h=h)
+        .sort_values(["_h", "id"])
+        .groupby("grp", sort=False)
+        .head(7)[["grp", "id"]]
+        .sort_values(["grp", "id"])
+        .reset_index(drop=True)
+    )
+    assert s1.equals(exp)
