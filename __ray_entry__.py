@@ -945,6 +945,7 @@ def _q_emb_labels(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from kkray.relational.queries import (
+        approx_distinct_users_per_event_type,
         customers_without_events,
         distinct_users_per_event_type,
         sample_docs_per_lang,
@@ -1015,6 +1016,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_event_type": lambda sf: distinct_users_per_event_type(sf),
         "value_quantiles_per_event_type": lambda sf: value_quantiles_per_event_type(sf),
         "sample_docs_per_lang": lambda sf: sample_docs_per_lang(sf),
+        # rows-only: HLL sketch (deterministic); accuracy pytest-verified
+        "approx_distinct_users_per_event_type": lambda sf: approx_distinct_users_per_event_type(sf),
         "sessionize_events": _q_sessionize,
         "asof_purchase_click": _q_asof,
         "range_join_error_purchases": _q_range_join,

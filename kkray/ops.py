@@ -255,3 +255,67 @@ def stratified_sample(
         num_shards=num_shards,
     )
     return picked.map_batches(lambda df: df.drop(columns=["_h"]), batch_format="pandas")
+
+
+def grouped_approx_distinct(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    p: int = 12,
+) -> ray.data.Dataset:
+    """Approximate per-group distinct count (HyperLogLog, 2^p registers,
+    relative error ~1.04/sqrt(2^p) ≈ 1.6% at p=12) — the sketch path for
+    corpus-scale cardinalities where the exact form's unique-pair shuffle
+    is too wide. Per batch: one vectorized (key, register)->max(rho)
+    combiner, so the shuffle carries at most |groups| x 2^p rows total
+    regardless of input size; the final estimate runs per key-bucket.
+    Hashing is pd.util.hash_pandas_object (deterministic siphash), so
+    results are reproducible across runs."""
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[col], index=False).to_numpy()  # uint64
+        bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits
+        # rho = leading-zero count of the remaining 64-p bits + 1
+        # log2 via float is exact for the leading-bit position
+        nz = rest.astype(np.float64)
+        lead = 63 - np.floor(np.log2(nz)).astype(np.int64)  # leading zeros of rest
+        rho = np.minimum(lead, 64 - p) + 1
+        out = df[keys].copy()
+        out["_b"] = bucket
+        out["_rho"] = rho
+        return out.groupby(keys + ["_b"], as_index=False)["_rho"].max()
+
+    regs = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys + ["_b"])
+        .max("_rho")
+    )
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        rows = []
+        for key, sub in g:
+            rho = sub["max(_rho)"].to_numpy()
+            zeros = m - len(rho)
+            s = zeros * 1.0 + np.sum(np.exp2(-rho.astype(np.float64)))
+            e = alpha * m * m / s
+            if e <= 2.5 * m and zeros > 0:
+                e = m * np.log(m / zeros)
+            rows.append((*(key if isinstance(key, tuple) else (key,)), int(round(e))))
+        return pd.DataFrame(rows, columns=keys + ["approx_distinct"])
+
+    # bucket registers by key hash so the estimator sees every register of
+    # a key in ONE group (few rows per key: <= 2^p)
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_kb"] = _shard_of(df, keys, 64)
+        return out
+
+    return (
+        regs.map_batches(rebucket, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(lambda g: estimate(g.drop(columns=["_kb"])), batch_format="pandas")
+    )

@@ -156,6 +156,19 @@ def distinct_users_per_event_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def approx_distinct_users_per_event_type(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog grouped distinct (p=12, ~1.6% error) — the sketch path
+    beside the exact distinct_users_per_event_type; deterministic, so the
+    driver rows-only check is stable (accuracy is pytest-verified against
+    the exact counts)."""
+    from ..ops import grouped_approx_distinct
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    out = grouped_approx_distinct(ev, ["event_type"], "user_id").to_pandas()
+    out["approx_distinct"] = out["approx_distinct"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def sample_docs_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """Deterministic stratified sample: the k docs per language with the
     smallest keyed multiplicative hash — reproducible balanced-corpus
