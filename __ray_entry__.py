@@ -461,14 +461,19 @@ def _q_pagerank_personalized(sf_dir: str):
 
 
 def _q_pagerank_weighted(sf_dir: str):
+    """Runs on the DISTRIBUTED weighted build path (Graph.from_dataset:
+    routed hive layout, per-shard slice reads) so the correctness gate
+    exercises the 100 TB route, not just from_arrays."""
+    import pyarrow as pa
+    import ray.data
     from kkray.analytics import pagerank
-
-    src, dst, w = _chain_w_arrays(sf_dir)
     from kkray.graph import Graph
 
+    src, dst, w = _chain_w_arrays(sf_dir)
     verts = np.unique(np.concatenate([src, dst]))
     s, d = np.searchsorted(verts, src), np.searchsorted(verts, dst)
-    with Graph.from_arrays(s, d, num_parts=8, v_num=len(verts), weight=w) as g:
+    ds = ray.data.from_arrow(pa.table({"src": s, "dst": d, "weight": w}))
+    with Graph.from_dataset(ds, num_parts=8, v_num=len(verts), weighted=True) as g:
         scores = pagerank(g, damping=PR_DAMPING, max_iters=PR_ITERS, tol=None, weighted=True)
     return pd.DataFrame({"partkey": verts, "score_n": np.round(scores * len(verts), 6)})
 
