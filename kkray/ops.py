@@ -281,7 +281,9 @@ def grouped_approx_distinct(
         # log2 via float is exact for the leading-bit position
         nz = rest.astype(np.float64)
         lead = 63 - np.floor(np.log2(nz)).astype(np.int64)  # leading zeros of rest
-        rho = np.minimum(lead, 64 - p) + 1
+        # float64 can round rest values within ~2^10 of 2^64 UP to 2^64
+        # (log2 -> 64, lead -> -1); clip keeps rho in its legal [1, 64-p+1]
+        rho = np.clip(np.minimum(lead, 64 - p) + 1, 1, 64 - p + 1)
         out = df[keys].copy()
         out["_b"] = bucket
         out["_rho"] = rho
