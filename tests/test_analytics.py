@@ -214,3 +214,17 @@ def test_pagerank_personalized_matches_oracle(ray_session, v, e, parts):
     # mass concentrates on/near the seeds and still sums to 1
     assert abs(exp.sum() - 1.0) < 1e-9
     assert exp[seeds].sum() > 3.0 / v
+
+
+def test_pagerank_weighted_multigraph_duplicate_edges(ray_session):
+    """Duplicate (src,dst) entries are independent weighted edges — the
+    flow must equal the oracle fed the same duplicated rows."""
+    from graphgen import pagerank_w_oracle
+
+    src = np.array([0, 0, 0, 1, 2, 2], dtype=np.int64)  # 0->1 twice
+    dst = np.array([1, 1, 2, 2, 0, 1], dtype=np.int64)
+    w = np.array([1.0, 3.0, 2.0, 1.0, 4.0, 0.5])
+    exp = pagerank_w_oracle(src, dst, w, 3, iters=20)
+    with Graph.from_arrays(src, dst, num_parts=2, v_num=3, weight=w) as g:
+        got = pagerank(g, max_iters=20, tol=None, weighted=True)
+    assert np.allclose(got, exp, atol=1e-12)
