@@ -892,6 +892,15 @@ def _q_top_tokens(sf_dir: str):
     return out.astype({"n": "int64"}).reset_index(drop=True)
 
 
+def _q_curated_corpus(sf_dir: str):
+    """Composed pipeline: quality pre-filter -> exact text dedup (min
+    doc_id wins) -> stratified k-per-lang sample; oracle composes the
+    same three SQL stages."""
+    from kkray.pipelines.corpus import curated_corpus
+
+    return curated_corpus(sf_dir)
+
+
 def _q_quality_filter(sf_dir: str):
     """Composite keep/drop quality pre-filter (QualityFilter docstring has
     the signal formulas; every signal reuses a SQL-parity count)."""
@@ -1023,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_per_lang": lambda sf: sample_docs_per_lang(sf),
         # rows-only: HLL sketch (deterministic); accuracy pytest-verified
         "approx_distinct_users_per_event_type": lambda sf: approx_distinct_users_per_event_type(sf),
+        "curated_corpus": _q_curated_corpus,
         "sessionize_events": _q_sessionize,
         "asof_purchase_click": _q_asof,
         "range_join_error_purchases": _q_range_join,
@@ -1198,6 +1208,30 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_event_type": """
             SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY event_type ORDER BY event_type""",
+        # composed pipeline oracle: the quality-filter signals, GROUP BY
+        # text MIN(doc_id) dedup, and the hash-ranked sample stacked
+        "curated_corpus": r"""
+            WITH sig AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+                     length(regexp_replace(text, '\s', '', 'g')) AS n_wchars
+              FROM documents),
+            kept AS (
+              SELECT d.doc_id, d.text, d.lang FROM documents d JOIN sig s ON d.doc_id = s.doc_id
+              WHERE s.n_chars >= 200 AND s.n_tokens >= 20
+                    AND s.n_digits / GREATEST(s.n_chars, 1) <= 0.3
+                    AND s.n_wchars / GREATEST(s.n_tokens, 1) BETWEEN 2.0 AND 4.8),
+            dd AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+            win AS (SELECT k.doc_id, k.lang FROM kept k JOIN dd ON k.doc_id = dd.doc_id)
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY (doc_id * 2654435761) % 4294967291, doc_id) AS rn
+              FROM win)
+            WHERE rn <= 3 ORDER BY lang, doc_id""",
         # deterministic stratified sample: k smallest multiplicative hash
         # per group; identical mod arithmetic on both sides (int64-safe)
         "sample_docs_per_lang": """

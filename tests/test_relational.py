@@ -256,3 +256,22 @@ def test_grouped_approx_distinct_accuracy(ray_session):
     df = pd.DataFrame({"g": ["x"] * 1000, "v": np.arange(1000) % 7})
     small = grouped_approx_distinct(ray.data.from_pandas(df), ["g"], "v").to_pandas()
     assert small["approx_distinct"].tolist() == [7]
+
+
+def test_curated_corpus_pipeline_stages(ray_session):
+    """The composed pipeline's survivors must each pass the quality filter,
+    be the min doc_id of their text group, and number k per language."""
+    from kkray.pipelines.corpus import curated_corpus
+    from kkray.textops import QualityFilter
+
+    sf = "/root/testdata/sf0.001"
+    out = curated_corpus(sf, k_per_lang=3)
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    assert (out.groupby("lang").size() <= 3).all() and len(out) > 0
+    qf = QualityFilter()(docs).set_index("doc_id")
+    assert (qf.loc[out["doc_id"], "keep"] == 1).all()
+    # winners are the min doc_id of their exact-text group among kept docs
+    kept = docs[qf.loc[docs["doc_id"], "keep"].to_numpy() == 1]
+    min_of_text = kept.groupby("text")["doc_id"].min()
+    winners = set(min_of_text.to_numpy())
+    assert set(out["doc_id"]).issubset(winners)
