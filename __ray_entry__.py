@@ -107,7 +107,7 @@ HITS_ITERS = 5
 BFS_CAP = 64  # distance cap == engine max_iters == SQL recursion bound
 SSSP_ROUNDS = 16  # >= observed Bellman-Ford convergence (4 worst case)
 KCORE_K = 68  # nontrivial partial core on the cooc graph at sf0.001 AND sf0.01
-KCORE_SQL_ROUNDS = 12  # >= observed peel rounds (7 worst case) at both SFs
+KCORE_SQL_ROUNDS = 24  # >= observed peel rounds (7 worst case) at both SFs, 3.4x margin; _q_kcore asserts engine rounds <= this
 
 
 def _pagerank_sql() -> str:
@@ -519,7 +519,14 @@ def _q_kcore(sf_dir: str):
     src, dst = _cooc_arrays(sf_dir)
     g, verts = _dense_graph(src, dst)
     with g:
-        member = kcore(g, k=KCORE_K)
+        member, rounds = kcore(g, k=KCORE_K, return_rounds=True)
+    # the SQL oracle unrolls exactly KCORE_SQL_ROUNDS peel rounds; a peel
+    # needing more would make a CORRECT engine disagree with the oracle —
+    # fail loudly here instead of reporting a silent mismatch
+    assert rounds <= KCORE_SQL_ROUNDS, (
+        f"kcore peel used {rounds} rounds > SQL unroll {KCORE_SQL_ROUNDS}; "
+        "raise KCORE_SQL_ROUNDS"
+    )
     return pd.DataFrame({"partkey": verts, "in_kcore": member})
 
 
@@ -920,7 +927,8 @@ def _q_word_chars(sf_dir: str):
     def stats(df: pd.DataFrame) -> pd.DataFrame:
         texts = df["text"].fillna("")
         return pd.DataFrame(
-            {"doc_id": df["doc_id"], "n_word_chars": texts.str.count(r"\S").astype("int64")}
+            # ASCII class matching RE2's \s in the oracle exactly
+            {"doc_id": df["doc_id"], "n_word_chars": texts.str.count(r"[^\t\n\f\r ]").astype("int64")}
         )
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -1229,7 +1237,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, doc_id FROM (
               SELECT lang, doc_id,
                      row_number() OVER (PARTITION BY lang
-                         ORDER BY (doc_id * 2654435761) % 4294967291, doc_id) AS rn
+                         ORDER BY ((doc_id % 4294967291)::HUGEINT * 2654435761) % 4294967291, doc_id) AS rn
               FROM win)
             WHERE rn <= 3 ORDER BY lang, doc_id""",
         # deterministic stratified sample: k smallest multiplicative hash
@@ -1238,7 +1246,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, doc_id FROM (
               SELECT lang, doc_id,
                      row_number() OVER (PARTITION BY lang
-                         ORDER BY (doc_id * 2654435761) % 4294967291, doc_id) AS rn
+                         ORDER BY ((doc_id % 4294967291)::HUGEINT * 2654435761) % 4294967291, doc_id) AS rn
               FROM documents)
             WHERE rn <= 5 ORDER BY lang, doc_id""",
         # exact discrete quantiles: quantile_disc == sorted[ceil(q*n)-1],

@@ -26,10 +26,14 @@ def kcore(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
+    return_rounds: bool = False,
 ) -> np.ndarray:
     """Returns int64 0/1 membership: 1 iff the vertex survives k-core
     peeling at threshold ``k`` (the maximal subgraph where every vertex
-    has degree >= k within the subgraph)."""
+    has degree >= k within the subgraph). With return_rounds=True returns
+    (membership, rounds) where rounds is the number of synchronous peel
+    rounds actually executed (callers comparing against an unrolled SQL
+    oracle assert rounds <= the unroll count)."""
     actors = graph.actors
     P = graph.num_parts
     if len(graph.hub_vids):
@@ -78,4 +82,7 @@ def kcore(
             )
         if removed == 0:
             break
-    return graph.gather_vertex_array("kcore_get")
+    member = graph.gather_vertex_array("kcore_get")
+    if return_rounds:
+        return member, it + 1
+    return member

@@ -54,17 +54,39 @@ def pagerank(
     keep float64."""
     actors = graph.actors
     P = graph.num_parts
+    if seeds is not None:
+        seeds = np.asarray(seeds, dtype=np.int64)
+        if len(seeds) == 0:
+            raise ValueError("personalized pagerank: seeds must be non-empty")
+        bad = seeds[(seeds < 0) | (seeds >= graph.v_num)]
+        if len(bad):
+            raise ValueError(
+                f"personalized pagerank: seed ids out of range [0, {graph.v_num}): "
+                f"{bad[:5].tolist()}{'...' if len(bad) > 5 else ''}"
+            )
+    seeds_list = sorted(np.unique(seeds).tolist()) if seeds is not None else None
     start_iter = 0
+    # pr_init ALWAYS runs first: it (re)builds the per-shard mode state
+    # (_pr_weighted / _pr_wout / _pr_reset / _pr_dtype). On resume, pr_set
+    # then overwrites the rank vector with the checkpointed values — a
+    # resumed weighted/personalized run keeps its kernel.
+    ray.get([a.pr_init.remote(None, dtype, weighted, seeds) for a in actors])
     if resume and checkpoint is not None:
         last = checkpoint.latest_complete()
         if last is not None:
-            parts, _ = checkpoint.load(last)
-            ray.get([a.pr_set.remote(arr) for a, (_, arr) in zip(actors, parts)])
+            parts, meta = checkpoint.load(last)
+            lin = (meta or {}).get("lineage", {}) if isinstance(meta, dict) else {}
+            if lin:
+                ck_w = bool(lin.get("weighted", False))
+                ck_s = lin.get("seeds", None)
+                if ck_w != bool(weighted) or ck_s != seeds_list:
+                    raise ValueError(
+                        "pagerank resume: checkpoint lineage mode "
+                        f"(weighted={ck_w}, seeds={ck_s}) does not match the "
+                        f"requested mode (weighted={bool(weighted)}, seeds={seeds_list})"
+                    )
+            ray.get([a.pr_set.remote(arr, dtype) for a, (_, arr) in zip(actors, parts)])
             start_iter = last + 1
-        else:
-            ray.get([a.pr_init.remote(None, dtype, weighted, seeds) for a in actors])
-    else:
-        ray.get([a.pr_init.remote(None, dtype, weighted, seeds) for a in actors])
 
     if tol is None and checkpoint is None and not len(graph.hub_vids) and max_iters > start_iter:
         # fixed-iteration fast path: submit EVERY superstep's scatters and
@@ -109,7 +131,14 @@ def pagerank(
                     "superstep_sec": time.perf_counter() - t0,
                     "edges": graph.e_num,
                 },
-                lineage={"op": "pagerank", "damping": damping, "iter": it, "num_parts": P},
+                lineage={
+                    "op": "pagerank",
+                    "damping": damping,
+                    "iter": it,
+                    "num_parts": P,
+                    "weighted": bool(weighted),
+                    "seeds": seeds_list,
+                },
             )
         if tol is not None and delta < tol:
             break

@@ -447,8 +447,8 @@ class ShardCore(WalkMixin):
     def pr_get(self):
         return self.lo, self.rank
 
-    def pr_set(self, values: np.ndarray):
-        self.rank = np.asarray(values, dtype=np.float64).copy()
+    def pr_set(self, values: np.ndarray, dtype: str = "float64"):
+        self.rank = np.asarray(values, dtype=np.dtype(dtype)).copy()
 
     # ------------------ Connected components (min-label) --------------- #
     _I64MAX = np.iinfo(np.int64).max

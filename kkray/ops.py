@@ -233,17 +233,23 @@ def stratified_sample(
     num_shards: int = 64,
 ) -> ray.data.Dataset:
     """Deterministic per-group sample: the k rows with the smallest keyed
-    multiplicative hash of ``id_col`` (h = id * 2654435761 mod 4294967291,
-    products stay inside int64) — the balanced-corpus-sampling shape
-    (k docs per language/source), reproducible across runs and
-    SQL-expressible (same arithmetic in an ORDER BY). Rides grouped_top_k,
-    so each input batch contributes at most k rows per group to the
-    shuffle."""
-    MUL, MOD = np.int64(2654435761), np.int64(4294967291)
+    multiplicative hash of ``id_col`` (h = (id mod 4294967291) * 2654435761
+    mod 4294967291; the reduce-first keeps the product < 2^64, so the uint64
+    arithmetic is EXACT for every non-negative int64 id — no silent wrap)
+    — the balanced-corpus-sampling shape (k docs per language/source),
+    reproducible across runs and SQL-expressible (mirror arithmetic:
+    ``((id % 4294967291)::HUGEINT * 2654435761) % 4294967291``; ids must be
+    non-negative — numpy floor-mod and SQL remainder diverge below zero).
+    Rides grouped_top_k, so each input batch contributes at most k rows per
+    group to the shuffle."""
+    MUL, MOD = np.uint64(2654435761), np.uint64(4294967291)
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        if np.any(np.asarray(ids) < 0):
+            raise ValueError("stratified_sample: id_col must be non-negative")
         out = df.copy()
-        out["_h"] = (out[id_col].to_numpy().astype(np.int64) * MUL) % MOD
+        out["_h"] = (((ids.astype(np.uint64) % MOD) * MUL) % MOD).astype(np.int64)
         return out
 
     picked = grouped_top_k(

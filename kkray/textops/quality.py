@@ -23,13 +23,18 @@ _LEXICON = {
 }
 
 
-_DIGIT_RE = re.compile(r"\d")  # Nd category: matches str.isdigit on ASCII/Nd
+# ASCII digit and whitespace classes, matching the DuckDB (RE2) oracle
+# exactly: the SQL uses [0-9] and RE2's \s == [\t\n\f\r ]. Python's \d/\s
+# are Unicode (Nd / all-Unicode-whitespace) and would diverge on non-ASCII
+# digits or NBSP-style whitespace — engine and oracle share the ASCII rule.
+_DIGIT_RE = re.compile(r"[0-9]")
+_WS_RE = re.compile(r"[\t\n\f\r ]")
 # uppercase CLASS: ASCII + Latin-1 uppercase ranges — a C-level regex count
 # replacing the per-character isupper() loop (documented scope: beyond
 # Latin-1 this undercounts; upper_ratio is a heuristic quality signal, not
 # an oracle-checked column)
 _UPPER_RE = re.compile(r"[A-ZÀ-ÖØ-Þ]")
-_TOK_RE = re.compile(r"\S+")
+_TOK_RE = re.compile(r"[^\t\n\f\r ]+")
 
 
 def _exploded_tokens(texts: pd.Series) -> tuple[pd.Series, np.ndarray]:
@@ -132,7 +137,7 @@ class QualityFilter:
         n_chars = texts.str.len().to_numpy().astype(np.int64)
         n_tokens = texts.str.count(_TOK_RE).to_numpy().astype(np.int64)
         n_digits = texts.str.count(_DIGIT_RE).to_numpy().astype(np.int64)
-        n_wchars = n_chars - texts.str.count(r"\s").to_numpy().astype(np.int64)
+        n_wchars = n_chars - texts.str.count(_WS_RE).to_numpy().astype(np.int64)
         digit_ratio = n_digits / np.maximum(n_chars, 1)
         mean_wl = n_wchars / np.maximum(n_tokens, 1)
         keep = (
@@ -234,7 +239,9 @@ def top_tokens(docs, k: int = 50):
     import pyarrow as pa
 
     def explode_count(df: pd.DataFrame) -> pa.Table:
-        ex = df["text"].fillna("").str.split().explode().dropna()
+        # ASCII tokenization (_TOK_RE) matching the RE2 \s+ split in the
+        # SQL oracle; Python str.split() would split on Unicode whitespace
+        ex = df["text"].fillna("").str.findall(_TOK_RE).explode().dropna()
         vc = ex.value_counts()
         return pa.table(
             {"token": pa.array(vc.index.to_numpy().astype(str)), "n": vc.to_numpy().astype(np.int64)}

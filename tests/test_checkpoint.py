@@ -27,6 +27,53 @@ def test_pagerank_checkpoint_resume_equivalence(ray_session, tmp_path):
     assert np.allclose(full, resumed, atol=0, rtol=0)  # bit-identical replay
 
 
+def test_pagerank_weighted_resume_keeps_kernel(ray_session, tmp_path):
+    """Regression (ADVICE r3 high): resume must rebuild the weighted /
+    personalized mode state on the fresh actors — a resumed weighted run
+    used to silently fall back to the unweighted kernel."""
+    rng = np.random.default_rng(7)
+    v, e = 150, 900
+    src, dst = random_edges(v, e, seed=17)
+    w = rng.uniform(0.5, 3.0, size=len(src))
+    with Graph.from_arrays(src, dst, weight=w, num_parts=3, v_num=v) as g:
+        full = pagerank(g, max_iters=10, tol=None, weighted=True)
+    ck = CheckpointManager(str(tmp_path), "prw")
+    with Graph.from_arrays(src, dst, weight=w, num_parts=3, v_num=v) as g:
+        pagerank(g, max_iters=5, tol=None, weighted=True, checkpoint=ck)
+    with Graph.from_arrays(src, dst, weight=w, num_parts=3, v_num=v) as g:
+        resumed = pagerank(g, max_iters=10, tol=None, weighted=True, checkpoint=ck, resume=True)
+    assert np.allclose(full, resumed, atol=0, rtol=0)
+    # mode mismatch between checkpoint and resume request fails loudly
+    with Graph.from_arrays(src, dst, weight=w, num_parts=3, v_num=v) as g:
+        try:
+            pagerank(g, max_iters=10, tol=None, weighted=False, checkpoint=ck, resume=True)
+            assert False, "expected lineage mode mismatch to raise"
+        except ValueError:
+            pass
+
+
+def test_pagerank_personalized_resume_and_seed_validation(ray_session, tmp_path):
+    v, e = 120, 700
+    src, dst = random_edges(v, e, seed=23)
+    seeds = [3, 11, 40]
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        full = pagerank(g, max_iters=8, tol=None, seeds=np.array(seeds))
+    ck = CheckpointManager(str(tmp_path), "prp")
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        pagerank(g, max_iters=4, tol=None, seeds=np.array(seeds), checkpoint=ck)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        resumed = pagerank(g, max_iters=8, tol=None, seeds=np.array(seeds), checkpoint=ck, resume=True)
+    assert np.allclose(full, resumed, atol=0, rtol=0)
+    assert abs(full.sum() - 1.0) < 1e-9  # no teleport-mass leak
+    # out-of-range seeds raise at the driver (ADVICE r3: pr_init silently dropped them)
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        try:
+            pagerank(g, max_iters=2, tol=None, seeds=np.array([5, v + 10]))
+            assert False, "expected out-of-range seed to raise"
+        except ValueError:
+            pass
+
+
 def test_checkpoint_manifest_is_commit_point(ray_session, tmp_path):
     ck = CheckpointManager(str(tmp_path), "x")
     ck.save(0, [(0, np.arange(4.0))], metrics={"m": 1}, lineage={"op": "t"})

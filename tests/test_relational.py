@@ -225,7 +225,8 @@ def test_stratified_sample_deterministic_and_balanced(ray_session):
     assert s1.equals(s2)  # deterministic across runs
     assert (s1.groupby("grp").size() == 7).all()
     # matches the direct rule on the full frame
-    h = (df["id"].to_numpy().astype(np.int64) * np.int64(2654435761)) % np.int64(4294967291)
+    h = ((df["id"].to_numpy().astype(np.uint64) % np.uint64(4294967291)) * np.uint64(2654435761)) % np.uint64(4294967291)
+    h = h.astype(np.int64)
     exp = (
         df.assign(_h=h)
         .sort_values(["_h", "id"])
@@ -235,6 +236,31 @@ def test_stratified_sample_deterministic_and_balanced(ray_session):
         .reset_index(drop=True)
     )
     assert s1.equals(exp)
+
+
+def test_stratified_sample_large_ids_match_sql(ray_session):
+    """ids >= 2^32 (where the old int64 product wrapped): the reduce-first
+    uint64 hash matches DuckDB's HUGEINT mod arithmetic exactly."""
+    import ray.data
+    from kkray.ops import stratified_sample
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(2**33, 2**62, size=400, dtype=np.int64)
+    df = pd.DataFrame({"grp": rng.choice(["x", "y"], 400), "id": ids})
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (
+        stratified_sample(ds, ["grp"], "id", k=6)
+        .to_pandas()
+        .sort_values(["grp", "id"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        """SELECT grp, id FROM (
+             SELECT grp, id, row_number() OVER (PARTITION BY grp
+                 ORDER BY ((id % 4294967291)::HUGEINT * 2654435761) % 4294967291, id) AS rn
+             FROM df) WHERE rn <= 6 ORDER BY grp, id"""
+    ).df()
+    assert got[["grp", "id"]].reset_index(drop=True).equals(exp)
 
 
 def test_grouped_approx_distinct_accuracy(ray_session):
