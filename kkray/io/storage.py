@@ -95,16 +95,27 @@ def write_edgelist_text(edges: ray.data.Dataset, path: str):
 
 def read_edgelist_text(paths: str | list[str], weighted: bool = False) -> ray.data.Dataset:
     """Text edge list reader (reference read_edgelist, storage.hpp:124-157):
-    whitespace-separated "src dst [weight]" lines, vectorized parse."""
+    whitespace-separated "src dst [weight]" lines. The parse is fully
+    vectorized pyarrow.compute (SURVEY §2.1 S4): one whitespace-run split
+    per batch, list-element extraction, and string->numeric casts — no
+    Python loop over lines (this is the 100-TB text-ingest route)."""
+    import pyarrow.compute as pc
+
     txt = ray.data.read_text(paths)
+    need = 3 if weighted else 2
 
     def parse(t: pa.Table) -> pa.Table:
-        rows = [l.split() for l in t.column("text").to_pylist() if l.strip()]
-        src = np.array([int(r[0]) for r in rows], dtype=np.uint64)
-        dst = np.array([int(r[1]) for r in rows], dtype=np.uint64)
-        cols = {"src": pa.array(src, pa.uint64()), "dst": pa.array(dst, pa.uint64())}
+        col = pc.cast(t.column("text"), pa.string())
+        toks = pc.utf8_split_whitespace(col)  # splits on runs, drops leading/trailing
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        keep = pc.greater_equal(pc.list_value_length(toks), need)
+        toks = pc.filter(toks, keep)
+        cols = {
+            "src": pc.cast(pc.list_element(toks, 0), pa.uint64()),
+            "dst": pc.cast(pc.list_element(toks, 1), pa.uint64()),
+        }
         if weighted:
-            cols["weight"] = pa.array(np.array([float(r[2]) for r in rows], dtype=np.float32), pa.float32())
+            cols["weight"] = pc.cast(pc.list_element(toks, 2), pa.float32())
         return pa.table(cols)
 
     return txt.map_batches(parse, batch_format="pyarrow")
@@ -112,14 +123,19 @@ def read_edgelist_text(paths: str | list[str], weighted: bool = False) -> ray.da
 
 def gconvert(text_path: str, bin_path: str, weighted: bool = False):
     """Text -> binary converter (the reference's gconverter tool,
-    src/tools/gconverter.cpp:93-115)."""
-    df = read_edgelist_text(text_path, weighted=weighted).to_pandas()
-    write_binary_edges(
-        bin_path,
-        df["src"].to_numpy(dtype=np.uint64),
-        df["dst"].to_numpy(dtype=np.uint64),
-        df["weight"].to_numpy(dtype=np.float32) if weighted else None,
-    )
+    src/tools/gconverter.cpp:93-115). Streams batch-by-batch through
+    ``iter_batches`` (backpressured; O(batch) driver memory) — never
+    materializes the edge list on the driver."""
+    rec_t = _REC_W if weighted else _REC_UNW
+    ds = read_edgelist_text(text_path, weighted=weighted)
+    with open(bin_path, "wb") as f:
+        for t in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            rec = np.empty(t.num_rows, dtype=rec_t)
+            rec["src"] = t.column("src").to_numpy(zero_copy_only=False)
+            rec["dst"] = t.column("dst").to_numpy(zero_copy_only=False)
+            if weighted:
+                rec["weight"] = t.column("weight").to_numpy(zero_copy_only=False)
+            rec.tofile(f)
 
 
 def dump_paths_text(paths: ray.data.Dataset, out_dir: str, with_head_info: bool = False):

@@ -247,13 +247,17 @@ def events_hopping_window(sf_dir: str, size_min: int = 60, hop_min: int = 15) ->
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
-def filter_pushdown_scan(sf_dir: str) -> pd.DataFrame:
+def filter_pushdown_scan(sf_dir: str, collect: bool = True):
     """Scan with column pruning + row filter pushed to the parquet read
-    (predicate: high-value open orders)."""
+    (predicate: high-value open orders). Returns the lazy Dataset when
+    ``collect=False`` (the scale path — the filtered scan streams to its
+    consumer; nothing materializes on the driver); collect=True is the
+    small-SF contract mode that hands the driver's gate a sorted frame."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
         filter=(pc.field("o_orderstatus") == "O") & (pc.field("o_totalprice") > 100000.0),
     )
-    df = ds.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
-    return df
+    if not collect:
+        return ds
+    return ds.to_pandas().sort_values("o_orderkey").reset_index(drop=True)

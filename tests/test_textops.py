@@ -202,6 +202,26 @@ def test_embedding_near_dup_and_knn(ray_session):
     assert int(top1) == 3
 
 
+def test_embedding_near_dup_skewed_bucket_blocked(ray_session):
+    """Regression (r3 VERDICT wrong #3): a bucket larger than max_bucket is
+    split into block-pair tasks — the blocked result must equal the
+    single-task brute force exactly (every pair computed exactly once)."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    vecs = np.concatenate([base + rng.standard_normal((40, 16)) * 0.05, rng.standard_normal((300, 16))])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    emb = ray.data.from_pandas(pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})).repartition(4)
+
+    def norm(df):
+        lo = df[["a", "b"]].min(axis=1)
+        hi = df[["a", "b"]].max(axis=1)
+        return pd.DataFrame({"a": lo, "b": hi}).sort_values(["a", "b"]).reset_index(drop=True)
+
+    blocked = norm(embedding_near_dup(emb, threshold=0.8, n_planes=0, max_bucket=50).to_pandas())
+    brute = norm(embedding_near_dup(emb, threshold=0.8, n_planes=0, max_bucket=10**9).to_pandas())
+    assert len(brute) > 0 and blocked.equals(brute)
+
+
 def test_knn_ivf_exact_and_recall(ray_session):
     from kkray.textops import knn_ivf
 
