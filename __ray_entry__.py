@@ -965,6 +965,90 @@ def _q_emb_labels(sf_dir: str):
     return out.astype({"label": "int64", "n": "int64"}).sort_values("label").reset_index(drop=True)
 
 
+def _q_media_image_features(sf_dir: str):
+    """REAL image decode in the gate: deterministic synthetic RGB images
+    are encoded to genuine PNG bytes (kkray stdlib codec), decoded by the
+    actor-pool DecodeImage('png') stage, resized and featurized. The
+    round-trip is self-checking: decoded pixels must equal the
+    pre-encoding arrays bit-for-bit or the query raises. Rows-only driver
+    check (binary payloads aren't SQL-reconstructible); the codec itself
+    is golden-tested in pytest (filters 0-4, gray/RGB/RGBA)."""
+    import ray.data
+    from kkray.textops.codecs import png_encode
+    from kkray.textops.multimodal import DecodeImage, ImageFeatures, ResizeImage
+
+    rng = np.random.Generator(np.random.Philox(99))
+    n = 64
+    imgs = [rng.integers(0, 256, (24, 18, 3), dtype=np.uint8) for _ in range(n)]
+    media = pd.DataFrame(
+        {
+            "media_id": np.arange(n, dtype=np.int64),
+            "payload": [png_encode(im) for im in imgs],
+            "height": np.full(n, 24, dtype=np.int64),
+            "width": np.full(n, 18, dtype=np.int64),
+        }
+    )
+    out = (
+        ray.data.from_pandas(media)
+        .map_batches(DecodeImage, fn_constructor_args=("png",), batch_format="pandas", batch_size=16, concurrency=(1, 4))
+        .map_batches(ResizeImage(8, 8), batch_format="pandas")
+        .map_batches(ImageFeatures(), batch_format="pandas")
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    # self-check: the REAL decode ran (resize of the true pixels, not the fake)
+    exp0 = imgs[0][(np.arange(8) * 24 // 8)][:, (np.arange(8) * 18 // 8)].ravel()
+    assert np.array_equal(np.asarray(out["pixels"].iloc[0]), exp0), "PNG decode mismatch"
+    return pd.DataFrame(
+        {
+            "media_id": out["media_id"].astype("int64"),
+            "mean_r": np.round([f[0] for f in out["features"]], 6),
+            "mean_g": np.round([f[1] for f in out["features"]], 6),
+            "mean_b": np.round([f[2] for f in out["features"]], 6),
+        }
+    )
+
+
+def _q_media_audio_features(sf_dir: str):
+    """REAL audio decode in the gate: deterministic tones encoded to
+    genuine WAV bytes (stdlib wave), decoded by DecodeAudio, featurized
+    (RMS / ZCR / spectral centroid). Self-checking: decoded samples must
+    equal the pre-encoding arrays. Rows-only driver check."""
+    import ray.data
+    from kkray.textops.codecs import wav_encode
+    from kkray.textops.multimodal import AudioFeatures, DecodeAudio
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    freqs = [220.0, 440.0, 880.0, 1760.0]
+    tones = [(np.sin(2 * np.pi * f * t) * 18000).astype(np.int16) for f in freqs]
+    audio = pd.DataFrame(
+        {
+            "media_id": np.arange(len(freqs), dtype=np.int64),
+            "payload": [wav_encode(s, rate) for s in tones],
+        }
+    )
+    out = (
+        ray.data.from_pandas(audio)
+        .map_batches(DecodeAudio, batch_format="pandas", concurrency=(1, 2))
+        .map_batches(AudioFeatures(), batch_format="pandas")
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(np.asarray(out["samples"].iloc[0]), tones[0]), "WAV decode mismatch"
+    cents = np.array([f[2] for f in out["features"]])
+    assert np.all(np.abs(cents - np.array(freqs)) < 30.0), "spectral centroid off-tone"
+    return pd.DataFrame(
+        {
+            "media_id": out["media_id"].astype("int64"),
+            "sample_rate": out["sample_rate"].astype("int64"),
+            "centroid_hz": np.round(cents, 3),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kkray.relational.queries import (
         approx_distinct_users_per_event_type,
@@ -1045,6 +1129,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_click": _q_asof,
         "range_join_error_purchases": _q_range_join,
         "filter_pushdown_scan": lambda sf: filter_pushdown_scan(sf),
+        # multimodal: REAL in-container codecs (stdlib PNG/WAV) through the
+        # actor-pool decode stages; self-checking round-trips, rows-only
+        "media_image_features": _q_media_image_features,
+        "media_audio_features": _q_media_audio_features,
     }
 
 

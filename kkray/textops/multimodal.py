@@ -1,17 +1,22 @@
-"""Multimodal (image/audio/video) stages — REAL Ray-side plumbing,
-STUBBED codecs.
+"""Multimodal (image/audio/video) stages — REAL Ray-side plumbing, REAL
+in-container codecs for PNG and WAV, stub fallback elsewhere.
 
 Media travels as opaque ``binary`` columns with typed metadata
 (media_type, width/height or sample_rate, duration). The decode /
 feature-extract / resize / frame-sample kernels are actor-pool
 ``map_batches`` stages whose *Ray mechanics* (schema, batch sizing for
-large payloads, once-per-actor setup, output layout) are real and tested;
-the image codec is real where Pillow exists (``decoder="pil"``/"auto",
-optional import at actor init) and a clearly-marked deterministic stub
-where it doesn't (``decoder="fake"``: hash-derived tensor of the declared
-shape, stable across runs — this container ships no image/audio libs, so
-tests stay hermetic on the fake). Video decode (``SampleFrames``) would
-need ffmpeg and remains stub-only.
+large payloads, once-per-actor setup, output layout) are real and tested.
+
+Codec status (honest labeling):
+* PNG image decode is REAL in this container — ``kkray.textops.codecs``
+  implements the codec on stdlib zlib (8-bit gray/RGB/RGBA,
+  non-interlaced, all five scanline filters); ``decoder="png"`` uses it,
+  ``decoder="auto"`` prefers Pillow when importable, then the stdlib PNG
+  path for PNG-signature payloads, then the deterministic fake.
+* WAV audio decode is REAL (stdlib ``wave``) — see ``DecodeAudio``.
+* Video decode (``SampleFrames``) would need ffmpeg and remains
+  stub-only; ``decoder="fake"`` emits a payload-hash-seeded tensor of the
+  declared shape (stable across runs, hermetic for tests).
 """
 from __future__ import annotations
 
@@ -19,6 +24,8 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+
+from .codecs import png_decode, wav_decode
 
 
 def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
@@ -44,7 +51,7 @@ class DecodeImage:
     memory-aware rule for binary payloads)."""
 
     def __init__(self, decoder: str = "fake"):
-        if decoder not in ("fake", "none", "pil", "auto"):
+        if decoder not in ("fake", "none", "pil", "png", "auto"):
             raise ValueError(decoder)
         self.decoder = decoder
         self._pil = None
@@ -56,15 +63,26 @@ class DecodeImage:
             except ImportError:
                 if decoder == "pil":
                     raise
-                self.decoder = "fake"
+                # auto without Pillow: real stdlib PNG codec for PNG
+                # payloads, fake otherwise (resolved per payload)
+                self.decoder = "auto_png"
             else:
                 self.decoder = "pil"
+
+    @staticmethod
+    def _to_rgb(arr: np.ndarray) -> np.ndarray:
+        """gray/RGBA -> RGB (the pipeline's canonical pixel layout)."""
+        if arr.shape[2] == 1:
+            return np.repeat(arr, 3, axis=2)
+        if arr.shape[2] == 4:
+            return arr[:, :, :3]
+        return arr
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.decoder == "none":
             raise NotImplementedError(
-                "real image decode requires Pillow/opencv; use decoder='pil' "
-                "where Pillow is installed or decoder='fake' for the stub"
+                "real image decode requires Pillow (decoder='pil') or PNG "
+                "payloads (decoder='png'); decoder='fake' for the stub"
             )
         out = df.copy()
         if self.decoder == "pil":
@@ -82,6 +100,23 @@ class DecodeImage:
                 px.append(arr.ravel())
             out["pixels"] = px
             out["height"] = hs  # true decoded dims override declared metadata
+            out["width"] = ws
+            return out
+        if self.decoder in ("png", "auto_png"):
+            px, hs, ws = [], [], []
+            for b, h, w in zip(df["payload"], df["height"], df["width"]):
+                b = bytes(b)
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    arr = self._to_rgb(png_decode(b))  # REAL decode
+                elif self.decoder == "auto_png":
+                    arr = _fake_pixels(b, int(h), int(w))
+                else:
+                    raise ValueError("decoder='png' got a non-PNG payload")
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                px.append(arr.ravel())
+            out["pixels"] = px
+            out["height"] = hs
             out["width"] = ws
             return out
         out["pixels"] = [
@@ -126,6 +161,55 @@ class ImageFeatures:
             feats.append(
                 np.concatenate([img.mean(axis=(0, 1)), img.std(axis=(0, 1)), hist / luma.size])
             )
+        out["features"] = feats
+        return out
+
+
+class DecodeAudio:
+    """audio(payload WAV bytes) -> +samples (int16, channel-mean mono),
+    +sample_rate, +n_samples. REAL decode via the stdlib ``wave`` module —
+    no stub involved; non-WAV payloads raise. Stateless, but kept as a
+    callable class so the actor-pool pattern (and future codec state, e.g.
+    a resampler) has a home."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        samples, rates, ns = [], [], []
+        for b in df["payload"]:
+            arr, rate = wav_decode(bytes(b))
+            mono = arr.mean(axis=1).astype(np.int16) if arr.shape[1] > 1 else arr[:, 0]
+            samples.append(mono)
+            rates.append(rate)
+            ns.append(len(mono))
+        out["samples"] = samples
+        out["sample_rate"] = np.array(rates, dtype=np.int64)
+        out["n_samples"] = np.array(ns, dtype=np.int64)
+        return out
+
+
+class AudioFeatures:
+    """+samples -> feature vector: RMS level, zero-crossing rate, spectral
+    centroid + rolloff (numpy rFFT) — real vectorized DSP kernels standing
+    in for a model embedding."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        feats = []
+        for s, rate in zip(df["samples"], df["sample_rate"]):
+            x = np.asarray(s, dtype=np.float64) / 32768.0
+            n = max(len(x), 1)
+            rms = float(np.sqrt(np.mean(x**2))) if len(x) else 0.0
+            zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+            if len(x) > 1:
+                mag = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(len(x), d=1.0 / float(rate))
+                tot = mag.sum()
+                centroid = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+                cum = np.cumsum(mag)
+                roll = float(freqs[np.searchsorted(cum, 0.85 * tot)]) if tot > 0 else 0.0
+            else:
+                centroid = roll = 0.0
+            feats.append(np.array([rms, zcr, centroid, roll, float(n) / float(rate)]))
         out["features"] = feats
         return out
 

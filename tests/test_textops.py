@@ -302,12 +302,13 @@ def test_multimodal_pil_real_decode(ray_session):
     try:
         from PIL import Image  # noqa: F401
     except ImportError:
-        # no Pillow: 'auto' resolves to the deterministic fake, 'pil' must
-        # fail AT ACTOR INIT with ImportError (not mid-batch)
-        assert DecodeImage("auto").decoder == "fake"
+        # no Pillow: 'auto' resolves to the stdlib PNG codec (real decode
+        # for PNG payloads, fake for the rest); 'pil' must fail AT ACTOR
+        # INIT with ImportError (not mid-batch)
+        assert DecodeImage("auto").decoder == "auto_png"
         with pytest.raises(ImportError):
             DecodeImage("pil")
-        pytest.skip("Pillow not installed; real-decode path exercised where it is")
+        pytest.skip("Pillow not installed; stdlib PNG path covered by test_png_codec_*")
     import io
 
     img = Image.new("RGB", (6, 4), (10, 20, 30))
@@ -418,3 +419,143 @@ def test_top_tokens_counts_and_tiebreak(ray_session):
     # counts: a=3, b=3, c=3 -> tie-break token ASC -> a, b
     assert out["token"].tolist() == ["a", "b"]
     assert out["n"].tolist() == [3, 3]
+
+
+def test_png_codec_roundtrip_and_filters():
+    """The stdlib PNG codec is REAL: encode->decode round-trips exactly for
+    gray/RGB/RGBA, and the decoder reconstructs every spec filter type
+    (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) from hand-filtered
+    scanlines."""
+    import struct
+    import zlib
+
+    from kkray.textops.codecs import png_decode, png_encode
+
+    rng = np.random.default_rng(9)
+    for c in (1, 3, 4):
+        img = rng.integers(0, 256, (13, 7, c), dtype=np.uint8)
+        back = png_decode(png_encode(img if c > 1 else img[:, :, 0]))
+        assert back.shape == (13, 7, c)
+        assert np.array_equal(back, img)
+
+    # hand-craft a 5-scanline RGB PNG using one of each filter type,
+    # computing the filtered bytes from the PNG spec's forward formulas
+    h, w, c = 5, 4, 3
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    flat = img.reshape(h, w * c).astype(np.int64)
+    stride = w * c
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else cc
+
+    raw = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        raw.append(f)
+        prior = flat[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            cur = int(flat[y][x])
+            left = int(flat[y][x - c]) if x >= c else 0
+            up = int(prior[x])
+            ul = int(prior[x - c]) if x >= c else 0
+            if f == 0:
+                v = cur
+            elif f == 1:
+                v = cur - left
+            elif f == 2:
+                v = cur - up
+            elif f == 3:
+                v = cur - ((left + up) >> 1)
+            else:
+                v = cur - paeth(left, up, ul)
+            raw.append(v & 0xFF)
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(png), img)
+    # unsupported variants fail loudly, not silently
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)) + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        png_decode(bad)
+
+
+def test_wav_codec_roundtrip():
+    from kkray.textops.codecs import wav_decode, wav_encode
+
+    rng = np.random.default_rng(4)
+    mono = rng.integers(-32768, 32767, 1000, dtype=np.int16)
+    arr, rate = wav_decode(wav_encode(mono, 8000))
+    assert rate == 8000 and arr.shape == (1000, 1) and np.array_equal(arr[:, 0], mono)
+    stereo = rng.integers(-32768, 32767, (500, 2), dtype=np.int16)
+    arr, rate = wav_decode(wav_encode(stereo, 44100))
+    assert rate == 44100 and np.array_equal(arr, stereo)
+
+
+def test_multimodal_real_png_and_wav_pipeline(ray_session):
+    """REAL codecs through the actor-pool stages: PNG payloads decode to
+    their true pixels (not the fake), WAV payloads decode to their true
+    samples; features are computed on the decoded data."""
+    from kkray.textops.codecs import png_encode, wav_encode
+    from kkray.textops.multimodal import (
+        AudioFeatures,
+        DecodeAudio,
+        DecodeImage,
+        ImageFeatures,
+        ResizeImage,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (16, 12, 3), dtype=np.uint8) for _ in range(3)]
+    media = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2],
+            "payload": [png_encode(im) for im in imgs],
+            "height": [16] * 3,
+            "width": [12] * 3,
+        }
+    )
+    out = (
+        ray.data.from_pandas(media)
+        .map_batches(DecodeImage("png"), batch_format="pandas", batch_size=2, concurrency=2)
+        .map_batches(ImageFeatures(), batch_format="pandas")
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for i in range(3):
+        assert np.array_equal(np.asarray(out["pixels"].iloc[i]), imgs[i].ravel())
+        assert abs(out["features"].iloc[i][0] - imgs[i][:, :, 0].mean()) < 1e-9
+    # resize on real pixels
+    res = (
+        ray.data.from_pandas(media)
+        .map_batches(DecodeImage("auto"), batch_format="pandas")
+        .map_batches(ResizeImage(8, 8), batch_format="pandas")
+        .to_pandas()
+    )
+    assert all(len(p) == 8 * 8 * 3 for p in res["pixels"])
+
+    # audio: a pure 440 Hz tone — spectral centroid must sit near 440
+    t = np.arange(16000) / 16000.0
+    tone = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    audio = pd.DataFrame({"media_id": [0], "payload": [wav_encode(tone, 16000)]})
+    a = (
+        ray.data.from_pandas(audio)
+        .map_batches(DecodeAudio(), batch_format="pandas", concurrency=1)
+        .map_batches(AudioFeatures(), batch_format="pandas")
+        .to_pandas()
+    )
+    assert int(a["sample_rate"].iloc[0]) == 16000 and int(a["n_samples"].iloc[0]) == 16000
+    assert np.array_equal(np.asarray(a["samples"].iloc[0]), tone)
+    feats = a["features"].iloc[0]
+    assert abs(feats[2] - 440.0) < 15.0  # centroid ~ tone frequency
+    assert abs(feats[4] - 1.0) < 1e-9  # duration 1s
