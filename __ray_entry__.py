@@ -899,6 +899,22 @@ def _q_top_tokens(sf_dir: str):
     return out.astype({"n": "int64"}).reset_index(drop=True)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 tf-idf terms (score = tf * ln(N/df), tie-break score
+    DESC then token ASC — identical formula and tie rule in the SQL)."""
+    import ray.data
+    from kkray.textops import tfidf_top_terms
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = tfidf_top_terms(docs, k=3).to_pandas()
+    out["score"] = np.round(out["score"].astype(float), 6)
+    return (
+        out.astype({"doc_id": "int64", "token": "string"})
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_curated_corpus(sf_dir: str):
     """Composed pipeline: quality pre-filter -> exact text dedup (min
     doc_id wins) -> stratified k-per-lang sample; oracle composes the
@@ -1098,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_word_chars": _q_word_chars,
         "doc_quality_filter": _q_quality_filter,
         "top_tokens": _q_top_tokens,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "lang_counts": _q_lang_counts,
         "source_stats": _q_source_stats,
         "langid_pred": _q_langid,
@@ -1203,6 +1220,24 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE trim(text) <> ''),
             c AS (SELECT token, COUNT(*)::BIGINT AS n FROM toks GROUP BY token)
             SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 50""",
+        # per-doc tf-idf top-3: identical formula (tf * ln(N/df), float
+        # division) and tie-break (score DESC, token ASC) as the engine
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+              FROM documents WHERE trim(text) <> ''),
+            tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, token),
+            dfreq AS (SELECT token, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY token),
+            n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf * ln(n.n / dfreq.df) AS score
+              FROM tf JOIN dfreq USING (token), n)
+            SELECT doc_id, token, ROUND(score, 6) AS score FROM (
+              SELECT doc_id, token, score,
+                     row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, token ASC) AS rn
+              FROM scored)
+            WHERE rn <= 3 ORDER BY doc_id, token""",
         "embedding_near_dup_pairs": """
             SELECT e1.vec_id::BIGINT AS a, e2.vec_id::BIGINT AS b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id

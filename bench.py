@@ -178,9 +178,13 @@ def run_benchmarks() -> dict:
         extras["deepwalk_sharded_synth_walked_edges_per_sec"] = round(
             gb_steps() / queries["deepwalk_sharded_synth"], 0
         )
+        # 1M walkers (10x the pool leg): the second-order mesh is 3 routed
+        # rounds per step, so throughput tracks walkers-per-superstep — at
+        # 100K walkers the leg measures round-trip latency (0.2-0.6M/s),
+        # at 1M it measures the engine (3M+/s, 16x)
         timed_best(
             "node2vec_sharded_synth",
-            lambda: node2vec(gb, walker_num=100_000, p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False),
+            lambda: node2vec(gb, walker_num=1_000_000, p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False),
             reps=2,
         )
         extras["node2vec_sharded_synth_walked_edges_per_sec"] = round(

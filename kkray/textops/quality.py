@@ -228,6 +228,82 @@ class Fingerprint:
         return df
 
 
+def tfidf_top_terms(
+    docs: "ray.data.Dataset",
+    k: int = 3,
+    num_shards: int = 64,
+    join_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-document top-k terms by tf-idf: score = tf * ln(N / df), with
+    tf the in-doc count, df the number of docs containing the token, N the
+    corpus size. The keyword-extraction / document-signature shape for a
+    training-data pipeline.
+
+    100 TB shape: (doc_id, token, tf) pairs come out of ONE vectorized
+    per-batch explode+groupby (each doc is a single row, so per-batch
+    counts are complete — a combiner, not a partial); df is one
+    token-keyed groupby over those pairs (each pair is distinct per doc,
+    so count == document frequency); the idf join is a hash-partitioned
+    ``Dataset.join`` on token (never a broadcast — vocabulary grows with
+    the corpus); the final per-doc top-k rides grouped_top_k, so at most
+    k rows per doc per batch reach the last shuffle. Deterministic
+    tie-break (score DESC, token ASC) — SQL-oracle-parity formula
+    (DuckDB: tf * ln(N / df) with float division)."""
+    import ray
+    import ray.data  # noqa: F401  (docs is a Dataset)
+    import pyarrow as pa
+
+    from ..ops import grouped_top_k
+
+    if join_partitions is None:
+        # size join partitions to the CPUs actually available — the join
+        # operator pins one shuffle actor per partition, and over-
+        # partitioning a small cluster stalls the pipeline
+        join_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    n_docs = docs.count()
+
+    def tf_pairs(df: pd.DataFrame) -> pa.Table:
+        texts = df["text"].fillna("").reset_index(drop=True)
+        ex = texts.str.findall(_TOK_RE).explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        pos = ex.index.to_numpy().astype(np.int64)
+        t = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[pos], "token": ex.to_numpy()})
+        g = t.groupby(["doc_id", "token"], as_index=False).size()
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].to_numpy().astype("int64"),
+                "token": pa.array(g["token"].astype(str)),
+                "tf": g["size"].to_numpy().astype("int64"),
+            }
+        )
+
+    pairs = docs.map_batches(tf_pairs, batch_format="pandas")
+    dfreq = (
+        pairs.groupby("token")
+        .count()
+        .map_batches(lambda d: d.rename(columns={"count()": "df"}), batch_format="pandas")
+    )
+    joined = pairs.join(dfreq, "inner", num_partitions=join_partitions, on=("token",))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df["score"] = df["tf"].to_numpy().astype(np.float64) * np.log(
+            float(n_docs) / df["df"].to_numpy().astype(np.float64)
+        )
+        return df[["doc_id", "token", "score"]]
+
+    scored = joined.map_batches(score, batch_format="pandas")
+    return grouped_top_k(
+        scored, ["doc_id"], ["score", "token"], k=k, descending=[True, False], num_shards=num_shards
+    )
+
+
 def top_tokens(docs, k: int = 50):
     """Corpus-wide top-k whitespace tokens by count (vocabulary building).
 

@@ -559,3 +559,43 @@ def test_multimodal_real_png_and_wav_pipeline(ray_session):
     feats = a["features"].iloc[0]
     assert abs(feats[2] - 440.0) < 15.0  # centroid ~ tone frequency
     assert abs(feats[4] - 1.0) < 1e-9  # duration 1s
+
+
+def test_tfidf_top_terms_matches_duckdb(ray_session):
+    """Engine tf-idf (pairs explode -> df groupby -> hash join -> grouped
+    top-k) matches the SQL formulation exactly on the fixture corpus."""
+    import duckdb
+
+    from kkray.textops import tfidf_top_terms
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = tfidf_top_terms(docs, k=3).to_pandas()
+    got["score"] = np.round(got["score"].astype(float), 6)
+    got = got.sort_values(["doc_id", "token"]).reset_index(drop=True)[["doc_id", "token", "score"]]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.execute(
+        r"""WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+              FROM documents WHERE trim(text) <> ''),
+            tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, token),
+            dfreq AS (SELECT token, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY token),
+            n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf * ln(n.n / dfreq.df) AS score
+              FROM tf JOIN dfreq USING (token), n)
+            SELECT doc_id, token, ROUND(score, 6) AS score FROM (
+              SELECT doc_id, token, score,
+                     row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, token ASC) AS rn
+              FROM scored)
+            WHERE rn <= 3 ORDER BY doc_id, token"""
+    ).df()
+    exp["doc_id"] = exp["doc_id"].astype("int64")
+    got["doc_id"] = got["doc_id"].astype("int64")
+    got["token"] = got["token"].astype(str)
+    exp["token"] = exp["token"].astype(str)
+    assert len(got) == len(exp)
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["token"].to_numpy() == exp["token"].to_numpy()).all()
+    assert np.allclose(got["score"].to_numpy(), exp["score"].to_numpy(), atol=1e-9)
