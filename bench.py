@@ -30,6 +30,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# KKRAY_BENCH_CORE=1: run ONLY the legs in _SCALING_CORE (plus their
+# untimed input builds) — used by --scaling so each parallelism-level run
+# measures the scaling core without paying for the full suite
+CORE_ONLY = os.environ.get("KKRAY_BENCH_CORE") == "1"
 
 
 def run_benchmarks() -> dict:
@@ -89,50 +93,54 @@ def run_benchmarks() -> dict:
     ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     # --- graph build (untimed input prep shared by graph benches) ---
-    chain = order_chain_edges(SF_DIR).to_pandas()
     cooc = cooccurrence_edges(SF_DIR).to_pandas()
-    cs, cd = chain["src"].to_numpy(np.int64), chain["dst"].to_numpy(np.int64)
     us, ud = cooc["src"].to_numpy(np.int64), cooc["dst"].to_numpy(np.int64)
-    verts = np.unique(np.concatenate([cs, cd]))
-    csd, cdd = np.searchsorted(verts, cs), np.searchsorted(verts, cd)
     uverts = np.unique(np.concatenate([us, ud]))
     usd, udd = np.searchsorted(uverts, us), np.searchsorted(uverts, ud)
 
-    with Graph.from_arrays(csd, cdd, num_parts=parts_for(len(cs)), v_num=len(verts)) as g:
-        with timed("pagerank"):  # build excluded, like the reference's timing
-            pagerank(g, max_iters=10, tol=None)
-    extras["pagerank_edges_per_sec_per_superstep"] = round(len(cs) * 10 / queries["pagerank"] / 10, 0)
+    if not CORE_ONLY:
+        chain = order_chain_edges(SF_DIR).to_pandas()
+        cs, cd = chain["src"].to_numpy(np.int64), chain["dst"].to_numpy(np.int64)
+        verts = np.unique(np.concatenate([cs, cd]))
+        csd, cdd = np.searchsorted(verts, cs), np.searchsorted(verts, cd)
+        with Graph.from_arrays(csd, cdd, num_parts=parts_for(len(cs)), v_num=len(verts)) as g:
+            with timed("pagerank"):  # build excluded, like the reference's timing
+                pagerank(g, max_iters=10, tol=None)
+        extras["pagerank_edges_per_sec_per_superstep"] = round(len(cs) * 10 / queries["pagerank"] / 10, 0)
 
     with Graph.from_arrays(usd, udd, num_parts=min(NUM_CPUS, 16), v_num=len(uverts)) as gu:
-        with timed("cc"):
-            connected_components(gu)
+        if not CORE_ONLY:
+            with timed("cc"):
+                connected_components(gu)
         # min-of-2 like the synth legs: one-shot triangle wall times swing
         # several-fold under host CPU steal; the min reflects capability
         extras["triangle_count"] = timed_best("triangles", lambda: triangle_count(gu), reps=2)
-        with timed("deepwalk_sharded"):
-            deepwalk(gu, walker_num=len(uverts), length=80, seed=42, collect_paths=False, return_dataset=False)
-        steps = sum(ray.get([a.walk_steps_taken.remote() for a in gu.actors]))
-        extras["deepwalk_sharded_walked_edges_per_sec"] = round(steps / queries["deepwalk_sharded"], 0)
-        # sharded second-order: exercises the pruned stepA/respond/stepB
-        # mesh (supersteps touch only shards with walkers/queries/parked)
-        with timed("node2vec_sharded"):
-            node2vec(gu, walker_num=len(uverts), p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False)
-        steps = sum(ray.get([a.walk_steps_taken.remote() for a in gu.actors]))
-        extras["node2vec_sharded_walked_edges_per_sec"] = round(steps / queries["node2vec_sharded"], 0)
+        if not CORE_ONLY:
+            with timed("deepwalk_sharded"):
+                deepwalk(gu, walker_num=len(uverts), length=80, seed=42, collect_paths=False, return_dataset=False)
+            steps = sum(ray.get([a.walk_steps_taken.remote() for a in gu.actors]))
+            extras["deepwalk_sharded_walked_edges_per_sec"] = round(steps / queries["deepwalk_sharded"], 0)
+            # sharded second-order: exercises the pruned stepA/respond/stepB
+            # mesh (supersteps touch only shards with walkers/queries/parked)
+            with timed("node2vec_sharded"):
+                node2vec(gu, walker_num=len(uverts), p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False)
+            steps = sum(ray.get([a.walk_steps_taken.remote() for a in gu.actors]))
+            extras["node2vec_sharded_walked_edges_per_sec"] = round(steps / queries["node2vec_sharded"], 0)
 
     # walks on the replicated pool (the graph-fits-a-node fast path:
     # one plasma-shared CSR, no inter-worker exchange)
     from kkray.graph import WalkerPool
 
-    with WalkerPool.from_arrays(usd, udd, num_workers=max(2, min(NUM_CPUS // 2, len(uverts) // 10_000 + 1)), v_num=len(uverts)) as wp:
-        with timed("deepwalk"):
-            deepwalk(wp, walker_num=len(uverts), length=80, seed=42, collect_paths=False, return_dataset=False)
-        steps = sum(ray.get([a.walk_steps_taken.remote() for a in wp.actors]))
-        extras["deepwalk_walked_edges_per_sec"] = round(steps / queries["deepwalk"], 0)
-        with timed("node2vec"):
-            node2vec(wp, walker_num=len(uverts), p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False)
-        steps = sum(ray.get([a.walk_steps_taken.remote() for a in wp.actors]))
-        extras["node2vec_walked_edges_per_sec"] = round(steps / queries["node2vec"], 0)
+    if not CORE_ONLY:
+        with WalkerPool.from_arrays(usd, udd, num_workers=max(2, min(NUM_CPUS // 2, len(uverts) // 10_000 + 1)), v_num=len(uverts)) as wp:
+            with timed("deepwalk"):
+                deepwalk(wp, walker_num=len(uverts), length=80, seed=42, collect_paths=False, return_dataset=False)
+            steps = sum(ray.get([a.walk_steps_taken.remote() for a in wp.actors]))
+            extras["deepwalk_walked_edges_per_sec"] = round(steps / queries["deepwalk"], 0)
+            with timed("node2vec"):
+                node2vec(wp, walker_num=len(uverts), p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False)
+            steps = sum(ray.get([a.walk_steps_taken.remote() for a in wp.actors]))
+            extras["node2vec_walked_edges_per_sec"] = round(steps / queries["node2vec"], 0)
 
     # scaling-core synthetic graph: big enough that per-superstep compute
     # dominates the actor round-trip even at NUM_CPUS partitions (64M
@@ -150,48 +158,50 @@ def run_benchmarks() -> dict:
         # relative, inside the allclose 1e-6 rule). Oracle queries
         # keep float64.
         timed_best("pagerank_synth", lambda: pagerank(gb, max_iters=10, tol=None, dtype="float32"))
-        # weighted variant: same exchange, + one O(E) weight gather/mul
-        timed_best(
-            "pagerank_w_synth", lambda: pagerank(gb, max_iters=10, tol=None, weighted=True), reps=2
-        )
-        # frontier sweeps: per-superstep cost tracks the live frontier,
-        # not O(E) — BFS floods a random graph in ~O(diameter) rounds
-        from kkray.analytics import bfs_distances, sssp
+        if not CORE_ONLY:
+            # weighted variant: same exchange, + one O(E) weight gather/mul
+            timed_best(
+                "pagerank_w_synth", lambda: pagerank(gb, max_iters=10, tol=None, weighted=True), reps=2
+            )
+            # frontier sweeps: per-superstep cost tracks the live frontier,
+            # not O(E) — BFS floods a random graph in ~O(diameter) rounds
+            from kkray.analytics import bfs_distances, sssp
 
-        extras["bfs_reached"] = int((timed_best("bfs_synth", lambda: bfs_distances(gb, 0), reps=2) >= 0).sum())
-        extras["sssp_reached"] = int(
-            np.isfinite(timed_best("sssp_synth", lambda: sssp(gb, 0), reps=2)).sum()
-        )
-        # SHARDED walks at scale (r3 VERDICT missing #2): the sf0.1 sharded
-        # legs run on a 376K-edge graph where superstep latency dominates;
-        # here the same beyond-node-RAM path walks the 64M-edge graph with
-        # 1M walkers, so frontiers (~1M live walkers/superstep) amortize the
-        # mesh — the number a 100x-scale user would ask for.
-        def gb_steps():
-            return sum(ray.get([a.walk_steps_taken.remote() for a in gb.actors]))
+            extras["bfs_reached"] = int((timed_best("bfs_synth", lambda: bfs_distances(gb, 0), reps=2) >= 0).sum())
+            extras["sssp_reached"] = int(
+                np.isfinite(timed_best("sssp_synth", lambda: sssp(gb, 0), reps=2)).sum()
+            )
+            # SHARDED walks at scale (r3 VERDICT missing #2): the sf0.1 sharded
+            # legs run on a 376K-edge graph where superstep latency dominates;
+            # here the same beyond-node-RAM path walks the 64M-edge graph with
+            # 1M walkers, so frontiers (~1M live walkers/superstep) amortize the
+            # mesh — the number a 100x-scale user would ask for.
+            def gb_steps():
+                return sum(ray.get([a.walk_steps_taken.remote() for a in gb.actors]))
 
-        timed_best(
-            "deepwalk_sharded_synth",
-            lambda: deepwalk(gb, walker_num=1_000_000, length=80, seed=42, collect_paths=False, return_dataset=False),
-            reps=2,
-        )
-        extras["deepwalk_sharded_synth_walked_edges_per_sec"] = round(
-            gb_steps() / queries["deepwalk_sharded_synth"], 0
-        )
-        # 1M walkers (10x the pool leg): the second-order mesh is 3 routed
-        # rounds per step, so throughput tracks walkers-per-superstep — at
-        # 100K walkers the leg measures round-trip latency (0.2-0.6M/s),
-        # at 1M it measures the engine (3M+/s, 16x)
-        timed_best(
-            "node2vec_sharded_synth",
-            lambda: node2vec(gb, walker_num=1_000_000, p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False),
-            reps=2,
-        )
-        extras["node2vec_sharded_synth_walked_edges_per_sec"] = round(
-            gb_steps() / queries["node2vec_sharded_synth"], 0
-        )
+            timed_best(
+                "deepwalk_sharded_synth",
+                lambda: deepwalk(gb, walker_num=1_000_000, length=80, seed=42, collect_paths=False, return_dataset=False),
+                reps=2,
+            )
+            extras["deepwalk_sharded_synth_walked_edges_per_sec"] = round(
+                gb_steps() / queries["deepwalk_sharded_synth"], 0
+            )
+            # 1M walkers (10x the pool leg): the second-order mesh is 3 routed
+            # rounds per step, so throughput tracks walkers-per-superstep — at
+            # 100K walkers the leg measures round-trip latency (0.2-0.6M/s),
+            # at 1M it measures the engine (3M+/s, 16x)
+            timed_best(
+                "node2vec_sharded_synth",
+                lambda: node2vec(gb, walker_num=1_000_000, p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False),
+                reps=2,
+            )
+            extras["node2vec_sharded_synth_walked_edges_per_sec"] = round(
+                gb_steps() / queries["node2vec_sharded_synth"], 0
+            )
     extras["pagerank_synth_edges_per_sec_per_superstep"] = round(E2 / (queries["pagerank_synth"] / 10), 0)
-    extras["pagerank_w_synth_edges_per_sec_per_superstep"] = round(E2 / (queries["pagerank_w_synth"] / 10), 0)
+    if not CORE_ONLY:
+        extras["pagerank_w_synth_edges_per_sec_per_superstep"] = round(E2 / (queries["pagerank_w_synth"] / 10), 0)
     with WalkerPool.from_arrays(
         np.concatenate([bs, bd]), np.concatenate([bd, bs]), num_workers=max(2, NUM_CPUS - 2), v_num=V2
     ) as wp2:
@@ -208,15 +218,16 @@ def run_benchmarks() -> dict:
             lambda: node2vec(wp2, walker_num=100_000, p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False),
         )
         extras["node2vec_synth_walked_edges_per_sec"] = round(steps_taken() / queries["node2vec_synth"], 0)
-        # Metropolis-Hastings uniform-target walk (accept deg(u)/deg(v),
-        # reject=stay): pool path, degree lookups local
-        from kkray.walk import mh_walk
+        if not CORE_ONLY:
+            # Metropolis-Hastings uniform-target walk (accept deg(u)/deg(v),
+            # reject=stay): pool path, degree lookups local
+            from kkray.walk import mh_walk
 
-        timed_best(
-            "mh_synth",
-            lambda: mh_walk(wp2, walker_num=100_000, length=80, seed=42, collect_paths=False, return_dataset=False),
-        )
-        extras["mh_walked_edges_per_sec"] = round(steps_taken() / queries["mh_synth"], 0)
+            timed_best(
+                "mh_synth",
+                lambda: mh_walk(wp2, walker_num=100_000, length=80, seed=42, collect_paths=False, return_dataset=False),
+            )
+            extras["mh_walked_edges_per_sec"] = round(steps_taken() / queries["mh_synth"], 0)
         # return-biased node2vec (1/p > max(1,1/q)): exercises the
         # outlier-appendix sampling path (reference paper Table 5b)
         timed_best(
@@ -239,6 +250,20 @@ def run_benchmarks() -> dict:
         t0 = time.perf_counter()
         assemble_paths(fp_ds, colocated=True).count()
         extras["path_assembly_colocated_sec"] = round(time.perf_counter() - t0, 3)
+
+    if CORE_ONLY:
+        ray.shutdown()
+        total = round(sum(queries.values()), 3)
+        return {
+            "metric": "kkray scaling-core pipelines wall time",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "extras": extras,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "env": _env_noise(),
+        }
 
     # vectorized alias-table build, measured at the engine's actual unit
     # of work: ONE shard of the 64M-edge scaling-core graph at P=32 (2M
@@ -402,7 +427,7 @@ def run_scaling(repeat: int = 2, mid: bool = False) -> dict:
     4x-node cluster (4x memory channels) would see for these stages."""
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), KKRAY_BENCH_CORE="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
         ).stdout
