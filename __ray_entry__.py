@@ -762,6 +762,48 @@ def _q_ngram_jaccard(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_minhash_recall_vs_exact(sf_dir: str):
+    """Self-checking cross-validation of MinHash-LSH against the EXACT
+    inverted-index operator (same shingle_n/threshold): asserts (1) the
+    LSH pair set is a subset of the exact operator's with bit-identical
+    jaccard values, and (2) observed recall clears the banding-theory
+    expectation E[1-(1-s^r)^b] minus 3-sigma binomial slack. Raises on
+    violation; returns a one-row summary (rows-only driver check, but the
+    correctness claim is enforced inside the query)."""
+    import numpy as np
+    import ray.data
+    from kkray.textops import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    n, t, num_perm, bands = 3, 0.6, 64, 16
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    exact = ngram_jaccard_pairs(docs, shingle_n=n, threshold=t).to_pandas()
+    lsh = minhash_lsh_pairs(docs, num_perm=num_perm, bands=bands, shingle_n=n, threshold=t).to_pandas()
+    ex = {(int(a), int(b)): float(j) for a, b, j in zip(exact["a"], exact["b"], exact["jaccard"])}
+    got = {(int(a), int(b)): float(j) for a, b, j in zip(lsh["a"], lsh["b"], lsh["jaccard"])}
+    extra = set(got) - set(ex)
+    if extra:
+        raise AssertionError(f"LSH emitted pairs the exact operator lacks: {sorted(extra)[:5]}")
+    for k, j in got.items():
+        if abs(ex[k] - j) > 1e-12:
+            raise AssertionError(f"jaccard mismatch on {k}: lsh={j} exact={ex[k]}")
+    r = num_perm // bands
+    s = np.array(list(ex.values()), dtype=np.float64)
+    p = 1.0 - (1.0 - s**r) ** bands
+    expected = float(p.mean()) if len(ex) else 1.0
+    sigma = (float(np.sqrt((p * (1.0 - p)).sum())) / len(ex)) if len(ex) else 0.0
+    recall = (len(got) / len(ex)) if len(ex) else 1.0
+    if recall < expected - 3.0 * sigma - 1e-9:
+        raise AssertionError(f"recall {recall:.4f} below banding bound {expected:.4f} - 3*{sigma:.4f}")
+    return pd.DataFrame(
+        {
+            "n_exact_pairs": [np.int64(len(ex))],
+            "n_lsh_pairs": [np.int64(len(got))],
+            "recall_millionths": [np.int64(round(recall * 1_000_000))],
+            "theory_bound_millionths": [np.int64(round(expected * 1_000_000))],
+        }
+    )
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     import ray.data
     from kkray.ops import grouped_top_k
@@ -1121,6 +1163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "minhash_pairs": _q_minhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        # rows-only but self-checking: containment + banding-recall vs exact
+        "minhash_recall_vs_exact": _q_minhash_recall_vs_exact,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "simhash_pairs": _q_simhash_pairs,
         "near_dedup_keep": _q_near_dedup,

@@ -567,13 +567,21 @@ class WalkMixin:
                 *[{"prev": np.empty(0, np.int64), "cand": np.empty(0, np.int64)} for _ in range(P)],
                 counts,
             )
-        # in-superstep retry loop: a resolved-rejected walker re-proposes
-        # immediately (bounded rounds) instead of waiting a full driver
-        # round — iid proposals, so the sampled distribution is unchanged
-        # (the reference's retry-until-accept, walk.hpp:1030-1040, 1361-1364)
-        RETRY = 16
-        acc_rows: list[tuple] = []
+        # in-superstep LOCAL-CONTINUE loop (the reference's local-continue
+        # extended to second order — walk.hpp:1056-1063 plus the
+        # retry-until-accept loop walk.hpp:1030-1040, 1361-1364): a
+        # resolved-rejected walker re-proposes immediately, and an ACCEPTED
+        # walker whose candidate stays on this shard keeps stepping in the
+        # SAME actor call — its new prev (= old cur) is by construction
+        # shard-local, so every subsequent accept/reject is locally
+        # decidable; a walker leaves the loop only by emigrating, parking
+        # on a remote-prev membership probe, or terminating. Proposals are
+        # iid, so the sampled distribution is unchanged; this removes the
+        # one-driver-round-per-accepted-step latency that dominated the
+        # sharded node2vec benches.
         park_rows: list[tuple] = []
+        out_chunks: list[list[dict]] = [[] for _ in range(P)]
+        moved = 0
         # outlier-appendix mode (reference node2vec.hpp:47-106 +
         # walk.hpp:981-1014): when 1/p exceeds ub2 = max(1, 1/q), don't
         # fold 1/p into the rejection bound — give the single return edge
@@ -590,9 +598,17 @@ class WalkMixin:
         use_app = overflow > 0 and spec.get("appendix", True)
         weighted = bool(spec.get("weighted"))
         rnd = 0
-        while n and rnd < RETRY:
+        while n:
             rng = rng_for(self._wseed, self.part_id + self.seed, superstep, rnd + 1)
             cur_local = cur - self.lo
+            # continued walkers re-check termination (dead end / full length)
+            alive = (self.outdeg[cur_local] > 0) & (step < spec["length"])
+            if not alive.all():
+                wid, step, cur, prev = wid[alive], step[alive], cur[alive], prev[alive]
+                n = len(wid)
+                if n == 0:
+                    break
+                cur_local = cur - self.lo
             if use_app and not weighted:
                 degf = self.outdeg[cur_local].astype(np.float64)
                 ovf = np.where(prev >= 0, overflow, 0.0)  # no return edge at step 0
@@ -660,17 +676,50 @@ class WalkMixin:
                 dart = rng.random(n) * self._n2v_ub()
                 accept, resolved = self._n2v_resolve(prev, cand, dart)
             a = accept & resolved
-            if a.any():
-                acc_rows.append((wid[a], step[a], cur[a], prev[a], cand[a]))
             pk = ~resolved
             if pk.any():
                 park_rows.append((wid[pk], step[pk], cur[pk], prev[pk], cand[pk], dart[pk]))
+            if a.any():
+                # apply inline: footprint + route emigrants; stayers rejoin
+                # the loop at their new position (local-continue)
+                wid_a, cand_a = wid[a], cand[a]
+                step_a = step[a] + 1
+                prev_a = cur[a]
+                self._nsteps += int(len(wid_a))
+                if self._collect:
+                    self._fp.append((wid_a.copy(), step_a.copy(), cand_a.copy()))
+                cpart = part_of(cand_a, self.boundaries)
+                stay = cpart == self.part_id
+                mov = ~stay
+                if mov.any():
+                    moved += int(mov.sum())
+                    mp = cpart[mov]
+                    order = np.argsort(mp, kind="stable")
+                    bounds = np.searchsorted(mp[order], np.arange(P + 1))
+                    for p in range(P):
+                        s, e = bounds[p], bounds[p + 1]
+                        if e > s:
+                            sl = order[s:e]
+                            out_chunks[p].append(
+                                {
+                                    "wid": wid_a[mov][sl],
+                                    "step": step_a[mov][sl],
+                                    "cur": cand_a[mov][sl],
+                                    "prev": prev_a[mov][sl],
+                                }
+                            )
+                new_wid, new_step = wid_a[stay], step_a[stay]
+                new_cur, new_prev = cand_a[stay], prev_a[stay]
+            else:
+                new_wid = np.empty(0, np.int64)
+                new_step = new_cur = new_prev = new_wid
             rej = resolved & ~accept
-            wid, step, cur, prev = wid[rej], step[rej], cur[rej], prev[rej]
+            wid = np.concatenate([new_wid, wid[rej]])
+            step = np.concatenate([new_step, step[rej]])
+            cur = np.concatenate([new_cur, cur[rej]])
+            prev = np.concatenate([new_prev, prev[rej]])
             n = len(wid)
             rnd += 1
-        if n:  # exhausted local retries -> next superstep
-            self._append_frontier({"wid": wid, "step": step, "cur": cur, "prev": prev})
         # park unresolved walkers, bucketed by part(prev)
         qbatches = [{"prev": np.empty(0, np.int64), "cand": np.empty(0, np.int64)} for _ in range(P)]
         if park_rows:
@@ -692,12 +741,10 @@ class WalkMixin:
             counts["parked"] = int(len(pw[0]))
         else:
             self._parked = None
-        if acc_rows:
-            aw = [np.concatenate([r[i] for r in acc_rows]) for i in range(5)]
-            ones = np.ones(len(aw[0]), dtype=bool)
-            out, moved, _ = self._n2v_apply(aw[0], aw[1], aw[2], aw[3], aw[4], ones, ones)
-        else:
-            out, moved = [_EMPTY() | {"prev": np.empty(0, np.int64)} for _ in range(P)], 0
+        out = [
+            _concat(out_chunks[p]) if out_chunks[p] else _EMPTY() | {"prev": np.empty(0, np.int64)}
+            for p in range(P)
+        ]
         counts["moved"] = moved
         counts["local"] = int(len(self._frontier.get("wid", ())))
         # per-target sizes let the driver prune the respond/stepB mesh to

@@ -166,9 +166,13 @@ def test_node2vec_weighted_second_order_matrix(ray_session, p_, q_):
     nbrs = [set() for _ in range(v)]
     for a, b in zip(src, dst):
         nbrs[a].add(b)
+    # 60k walkers: the worst-state L1 over ~100 (prev,cur) states is a
+    # max-statistic — at 20k one state can sit at ~0.17 by pure sampling
+    # noise (verified 1/sqrt(n) decay, no bias); 3x walkers puts the
+    # noise floor well under the 0.15 bar
     with Graph.from_arrays(src, dst, weight=w, num_parts=3, v_num=v) as g:
         paths = paths_to_numpy(
-            node2vec(g, walker_num=20000, p=p_, q=q_, length=6, weighted=True, seed=39)
+            node2vec(g, walker_num=60000, p=p_, q=q_, length=6, weighted=True, seed=39)
         )
     counts: dict = {}
     for pth in paths.values():
