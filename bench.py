@@ -116,14 +116,23 @@ def run_benchmarks() -> dict:
         # several-fold under host CPU steal; the min reflects capability
         extras["triangle_count"] = timed_best("triangles", lambda: triangle_count(gu), reps=2)
         if not CORE_ONLY:
-            with timed("deepwalk_sharded"):
-                deepwalk(gu, walker_num=len(uverts), length=80, seed=42, collect_paths=False, return_dataset=False)
+            # min-of-2 like the synth legs: these are latency-bound meshes
+            # on a small graph, and host steal swings one-shot wall times
+            timed_best(
+                "deepwalk_sharded",
+                lambda: deepwalk(gu, walker_num=len(uverts), length=80, seed=42, collect_paths=False, return_dataset=False),
+                reps=2,
+            )
+            # walk_begin resets the counter, so this is ONE run's steps
             steps = sum(ray.get([a.walk_steps_taken.remote() for a in gu.actors]))
             extras["deepwalk_sharded_walked_edges_per_sec"] = round(steps / queries["deepwalk_sharded"], 0)
-            # sharded second-order: exercises the pruned stepA/respond/stepB
-            # mesh (supersteps touch only shards with walkers/queries/parked)
-            with timed("node2vec_sharded"):
-                node2vec(gu, walker_num=len(uverts), p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False)
+            # sharded second-order: the single-phase query-forwarding mesh
+            # (local-continue + pipelined K-wave windows)
+            timed_best(
+                "node2vec_sharded",
+                lambda: node2vec(gu, walker_num=len(uverts), p=2.0, q=0.5, length=80, seed=42, collect_paths=False, return_dataset=False),
+                reps=2,
+            )
             steps = sum(ray.get([a.walk_steps_taken.remote() for a in gu.actors]))
             extras["node2vec_sharded_walked_edges_per_sec"] = round(steps / queries["node2vec_sharded"], 0)
 

@@ -10,12 +10,16 @@ Re-expresses the reference's walk loops Ray-natively:
   (metapath) resample WITHOUT re-drawing the extension/termination test, so
   the sampled distribution matches the reference's retry semantics
   (walk.hpp:1030-1040).
-* second order / node2vec (reference include/walk.hpp:1082-1381): one step
-  attempt per superstep in three phases — propose (with the lower/upper
-  bound pre-acceptance shortcuts and the cand==prev / prev-is-local fast
-  paths), remote membership query (the reference's stateQuery routed to the
-  previous vertex's owner, node2vec.hpp:155-166), resolve (accept -> move,
-  reject -> retry same vertex next superstep, walk.hpp:1361-1364).
+* second order / node2vec (reference include/walk.hpp:1082-1381): a
+  single-phase query-FORWARDING mesh — each superstep proposes with the
+  lower/upper bound pre-acceptance shortcuts and the cand==prev /
+  prev-is-local fast paths, local-continues accepted stayers, and forwards
+  unresolved proposals (full walker row + dart) to the previous vertex's
+  owner, which resolves the membership query RNG-free and routes the
+  walker onward. The reference's stateQuery instead makes a
+  respond+resolve round-trip (node2vec.hpp:155-166, walk.hpp:1361-1379);
+  forwarding costs one routed hop, so the driver can pipeline supersteps
+  back-to-back with pure dataflow chaining.
 
 RNG: counter-based Philox keyed (seed, part, superstep, inner-iteration) —
 deterministic replay for tests and resume (SURVEY.md §7.4), unlike the
@@ -34,6 +38,27 @@ from .partition import part_of
 from ..utils import rng_for
 
 _EMPTY = lambda: {"wid": np.empty(0, np.int64), "step": np.empty(0, np.int64), "cur": np.empty(0, np.int64)}
+# a forwarded second-order query row: full walker state + proposal + dart
+_EMPTY_Q = lambda: {
+    "wid": np.empty(0, np.int64),
+    "step": np.empty(0, np.int64),
+    "cur": np.empty(0, np.int64),
+    "prev": np.empty(0, np.int64),
+    "cand": np.empty(0, np.int64),
+    "dart": np.empty(0, np.float64),
+    "pdeg": np.empty(0, np.int64),
+    "padj": np.empty(0, np.int64),
+}
+
+
+def _ragged_idx(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat gather positions for ragged rows: row i contributes
+    starts[i] + [0..lens[i])."""
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.empty(0, np.int64)
+    csum = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return np.repeat(starts - csum, lens) + np.arange(tot, dtype=np.int64)
 
 
 def build_alias_tables(indptr: np.ndarray, w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -126,6 +151,18 @@ def _concat(batches: list[dict]) -> dict:
     return {k: np.concatenate([b[k] for b in batches]) for k in keys}
 
 
+def _route_rows(chunks: list[list[dict]], parts: np.ndarray, rows: dict, P: int) -> None:
+    """Bucket `rows` (parallel arrays) by the per-row partition id in
+    `parts`, appending one chunk per nonempty destination to `chunks`."""
+    order = np.argsort(parts, kind="stable")
+    bounds = np.searchsorted(parts[order], np.arange(P + 1))
+    for p in range(P):
+        s, e = bounds[p], bounds[p + 1]
+        if e > s:
+            sl = order[s:e]
+            chunks[p].append({k: v[sl] for k, v in rows.items()})
+
+
 class WalkMixin:
     # ------------------------------------------------------------------ #
     def walk_begin(self, spec: dict, seed: int, collect_paths: bool = True):
@@ -142,8 +179,10 @@ class WalkMixin:
         self._final: list[tuple] = []  # (wid, step, wstate) at termination — the reference's COLLECT_WALKER_INIT_STATE test hook (walk.hpp:1383-1456)
         self._nsteps = 0  # walked edges accepted on this shard (bench metric)
         self._frontier: dict = {}
-        self._parked = None
         self._pending = None  # checkpoint-restored in-flight batch (consumed before new incoming)
+        self._pending_q = None  # checkpoint-restored in-flight forwarded queries (second order)
+        self._pending_adj = None  # checkpoint-restored piggybacked adjacency (flat, aligned with _pending)
+        self._wave_comp = None  # this wave's piggybacked-adjacency composite
         kind = spec["kind"]
         if spec.get("weighted"):
             w = self.csr.weights
@@ -245,44 +284,72 @@ class WalkMixin:
         self._frontier = W if W else {}
         return int(len(self._frontier.get("wid", ())))
 
-    def walk_ckpt_dump(self, *incoming):
+    def walk_ckpt_dump(self, nw: int = 0, *incoming):
         """PURE-SNAPSHOT checkpoint: serialize (frontier, in-flight walker
-        batches, footprints, finals, parked proposals) WITHOUT mutating any
-        state — the continuing run is bit-identical to one that never
-        checkpointed. May be called MID-MESH for second-order walks: parked
-        proposals (darts included) dump verbatim, so a resumed run replays
-        the RNG-free respond/stepB half-superstep and lands on exactly the
-        uninterrupted run's trajectory."""
+        batches, footprints, finals, in-flight forwarded queries) WITHOUT
+        mutating any state — the continuing run is bit-identical to one
+        that never checkpointed. ``incoming`` = ``nw`` walker batches
+        addressed to this shard followed by any number of second-order
+        query batches (full parked rows, darts included); queries dump
+        under "parked" and resume as shard-side pending queries, resolved
+        RNG-free exactly as the uninterrupted run would have."""
         import pyarrow as pa
 
+        nw = int(nw)
         fr = self._frontier if self._frontier else {}
         fr_tbl = pa.table({k: pa.array(np.asarray(v)) for k, v in fr.items()})
-        pend_batches = [b for b in incoming if b is not None and len(b.get("wid", ()))]
+        pend_batches = [b for b in incoming[:nw] if b is not None and len(b.get("wid", ()))]
         if self._pending is not None and len(self._pending.get("wid", ())):
             pend_batches.insert(0, self._pending)  # not yet consumed: keep its slot
         pend = _concat(pend_batches)
+        # ragged piggybacked adjacency is NOT row-aligned: own table
+        padj = pend.pop("padj", None) if pend else None
+        padj_tbl = pa.table({"adj": pa.array(np.asarray(padj if padj is not None else np.empty(0, np.int64)))})
         pend_tbl = pa.table({k: pa.array(np.asarray(v)) for k, v in pend.items()}) if pend else pa.table({})
         w, s, v = self.walk_footprints()
         fp_tbl = pa.table({"wid": pa.array(w), "step": pa.array(s), "vertex": pa.array(v)})
         fw, fs, fstate = self.walk_final_states()
         fin_tbl = pa.table({"wid": pa.array(fw), "step": pa.array(fs), "wstate": pa.array(fstate)})
-        pk = self._parked
-        if pk is not None:
-            pk_tbl = pa.table({k: pa.array(pk[k]) for k in ("wid", "step", "cur", "prev", "cand", "dart")})
+        q_batches = [b for b in incoming[nw:] if b is not None and len(b.get("wid", ()))]
+        if self._pending_q is not None and len(self._pending_q.get("wid", ())):
+            q_batches.insert(0, self._pending_q)
+        qk = _concat(q_batches)
+        if qk:
+            pk_tbl = pa.table({k: pa.array(np.asarray(qk[k])) for k in ("wid", "step", "cur", "prev", "cand", "dart")})
         else:
             pk_tbl = pa.table({})
         return {
             "frontier": fr_tbl,
             "pending": pend_tbl,
+            "pending_adj": padj_tbl,
             "footprints": fp_tbl,
             "finals": fin_tbl,
             "parked": pk_tbl,
         }, self._nsteps
 
+    def n2v_ckpt_dump(self, *batches):
+        """Second-order checkpoint: take the in-flight envelopes addressed
+        to this shard, split plain walkers (cand < 0) from forwarded
+        queries, and dump via the shared snapshot path (walkers under
+        "pending" with their piggybacked adjacency under "pending_adj",
+        queries under "parked")."""
+        inc = _concat([b for b in batches if b is not None and len(b.get("wid", ()))])
+        wb, qb = [], []
+        if inc and len(inc.get("wid", ())):
+            is_q = inc["cand"] >= 0
+            w_m = ~is_q
+            if w_m.any():
+                rows = {k: inc[k][w_m] for k in ("wid", "step", "cur", "prev", "pdeg")}
+                starts = np.concatenate([[0], np.cumsum(inc["pdeg"])[:-1]])
+                rows["padj"] = inc["padj"][_ragged_idx(starts[w_m], rows["pdeg"])]
+                wb.append(rows)
+            if is_q.any():
+                qb.append({k: v[is_q] for k, v in inc.items() if k not in ("pdeg", "padj")})
+        return self.walk_ckpt_dump(len(wb), *wb, *qb)
+
     def walk_ckpt_restore(self, tables: dict, nsteps: int) -> tuple:
         """Restore walk state; returns (frontier+pending rows, parked rows)
-        so the driver can rebuild its active set and knows whether to
-        replay the respond/stepB half-superstep."""
+        so the driver can rebuild its active set."""
         fr = tables["frontier"]
         if fr.num_rows or fr.num_columns:
             self._frontier = {
@@ -309,18 +376,21 @@ class WalkMixin:
             else []
         )
         self._nsteps = int(nsteps)
-        self._parked = None
+        self._pending_adj = None
+        pa_t = tables.get("pending_adj")
+        if pa_t is not None and pa_t.num_rows:
+            self._pending_adj = pa_t.column("adj").to_numpy(zero_copy_only=False).copy()
+        self._pending_q = None
         work = int(len(self._frontier.get("wid", ()))) + (
             int(len(self._pending.get("wid", ()))) if self._pending else 0
         )
         pk = tables.get("parked")
         if pk is not None and pk.num_rows:
-            cols = {c: pk.column(c).to_numpy(zero_copy_only=False).copy() for c in pk.column_names}
-            # rows were dumped sorted by part(prev); recompute the bucket
-            # bounds rather than serializing them
-            ppart = part_of(cols["prev"], self.boundaries)
-            cols["bounds"] = np.searchsorted(ppart, np.arange(self.num_parts + 1))
-            self._parked = cols
+            # in-flight forwarded queries addressed to this shard: resolved
+            # RNG-free at the next n2v_step, like the live refs would be
+            self._pending_q = {
+                c: pk.column(c).to_numpy(zero_copy_only=False).copy() for c in pk.column_names
+            }
             return work, int(pk.num_rows)
         return work, 0
 
@@ -536,37 +606,147 @@ class WalkMixin:
         return (*out, {"moved": moved, "sizes": [int(len(c["wid"])) for c in out]})
 
     # ---------------------- second order (node2vec) --------------------- #
-    def n2v_stepA(self, superstep: int, *incoming):
-        """Propose + locally-resolvable accept/reject. Returns P emigrant
-        batches, P query batches (prev, cand per parked walker), counts."""
+    def n2v_step(self, superstep: int, *batches):
+        """Single-phase second-order superstep (query-FORWARDING mesh).
+
+        Each element of ``batches`` is one sender's envelope addressed to
+        THIS shard: columns (wid, step, cur, prev, cand, dart), or None.
+        Rows with ``cand >= 0`` are forwarded membership QUERIES (full
+        parked walker + proposal + dart, routed here because this shard
+        owns ``prev``); they resolve RNG-free with one membership probe —
+        accepted walkers re-enter the stream toward part(cand) (or join
+        this call's propose loop when cand is local), rejected ones route
+        back to part(cur) for an iid re-proposal. Rows with ``cand < 0``
+        are plain in-flight walkers. Then the local-continue propose loop
+        runs over (frontier + walker rows + query-accepted stayers).
+
+        This replaces the reference's three-phase stateQuery mesh
+        (walk.hpp:1082-1381, node2vec.hpp:155-166): a parked walker costs
+        ONE forwarded hop instead of a driver-mediated respond+stepB
+        round-trip, so a superstep is a single task wave of P tasks with
+        per-target envelope returns that the driver pipelines back-to-back
+        as pure dataflow. Per-target refs let Ray pick the transport per
+        batch size: tail-sized batches ride inline in the task spec,
+        frontier-sized ones go through plasma by reference.
+
+        Returns (P per-target envelopes..., counts)."""
         spec = self._wspec
-        W = self._take_frontier(incoming)
         P = self.num_parts
-        zeros = [0] * P
-        if not W:
-            empty_q = [{"prev": np.empty(0, np.int64), "cand": np.empty(0, np.int64)} for _ in range(P)]
-            self._parked = None
-            return (
-                *[_EMPTY() for _ in range(P)],
-                *empty_q,
-                {"moved": 0, "parked": 0, "local": 0, "sizes": zeros, "qsizes": zeros},
+        counts = {"moved": 0, "parked": 0, "n_out": 0}
+        # (rows, target, pdeg, padj) chunks accumulated across query
+        # resolution and the propose loop; routed into per-target
+        # envelopes at the end (pdeg/padj = the piggybacked prev-adjacency)
+        w_out: list[tuple] = []
+        moved = 0
+        inv_p, inv_q = 1.0 / spec["p"], 1.0 / spec["q"]
+        adj_cap = int(spec.get("adj_cap", 0))
+        # ---- assemble the wave: population rows + adjacency composite ----
+        # population order is deterministic (frontier, checkpoint-restored
+        # pending, live incoming walkers ascending sender, query-accept
+        # stayers) so keyed RNG streams replay bit-identically on resume.
+        # aseg = row id into this wave's piggybacked-adjacency composite
+        # (-1: none; such rows fall back to bounds / local-prev / parking).
+        pop: list[tuple[dict, np.ndarray]] = []
+        comp_parts: list[np.ndarray] = []
+        seg_base = 0
+        fr = self._frontier if self._frontier and len(self._frontier.get("wid", ())) else None
+        self._frontier = {}
+        if fr is not None:
+            pop.append(
+                ({k: fr[k] for k in ("wid", "step", "cur", "prev")}, np.full(len(fr["wid"]), -1, np.int64))
             )
+        pend, self._pending = self._pending, None
+        pend_adj, self._pending_adj = getattr(self, "_pending_adj", None), None
+        if pend is not None and len(pend.get("wid", ())):
+            npnd = len(pend["wid"])
+            pdeg_p = pend.get("pdeg")
+            if pdeg_p is None:
+                pdeg_p = np.zeros(npnd, np.int64)
+            aseg_p = np.where(pdeg_p > 0, np.arange(npnd, dtype=np.int64), -1)
+            pop.append(({k: pend[k] for k in ("wid", "step", "cur", "prev")}, aseg_p))
+            if pend_adj is not None and len(pend_adj):
+                seg = np.repeat(np.arange(npnd, dtype=np.uint64), pdeg_p)
+                comp_parts.append((seg << np.uint64(32)) | pend_adj.astype(np.uint64))
+            seg_base = npnd
+        inc = _concat([b for b in batches if b is not None and len(b.get("wid", ()))])
+        q_in = []
+        if inc and len(inc.get("wid", ())):
+            n_inc = len(inc["wid"])
+            if len(inc.get("padj", ())):
+                seg = np.repeat(np.arange(n_inc, dtype=np.uint64) + np.uint64(seg_base), inc["pdeg"])
+                comp_parts.append((seg << np.uint64(32)) | inc["padj"].astype(np.uint64))
+            is_q = inc["cand"] >= 0
+            if is_q.any():
+                q_in.append({k: v[is_q] for k, v in inc.items() if k != "padj"})
+            w_m = ~is_q
+            if w_m.any():
+                aseg_w = np.where(
+                    inc["pdeg"][w_m] > 0, np.flatnonzero(w_m).astype(np.int64) + seg_base, -1
+                )
+                pop.append(({k: inc[k][w_m] for k in ("wid", "step", "cur", "prev")}, aseg_w))
+        self._wave_comp = np.concatenate(comp_parts) if comp_parts else None
+        if self._pending_q is not None:
+            if len(self._pending_q.get("wid", ())):
+                q_in.insert(0, self._pending_q)  # checkpoint-restored in-flight queries
+            self._pending_q = None
+        # ---- resolve forwarded queries (prev is owned here): RNG-free ----
+        stay_rows = None
+        if q_in:
+            Q = _concat(q_in)
+            member = self.csr.contains_edges(Q["prev"] - self.lo, Q["cand"])
+            dyn = np.where(member, 1.0, inv_q)
+            acc = Q["dart"] <= dyn
+            if acc.any():
+                wid_a = Q["wid"][acc]
+                step_a = Q["step"][acc] + 1
+                cand_a = Q["cand"][acc]
+                prev_a = Q["cur"][acc]
+                self._nsteps += int(len(wid_a))
+                if self._collect:
+                    self._fp.append((wid_a.copy(), step_a.copy(), cand_a.copy()))
+                cpart = part_of(cand_a, self.boundaries)
+                stay = cpart == self.part_id
+                mov = ~stay
+                if mov.any():
+                    moved += int(mov.sum())
+                    w_out.append(
+                        (
+                            {"wid": wid_a[mov], "step": step_a[mov], "cur": cand_a[mov], "prev": prev_a[mov]},
+                            cpart[mov],
+                            None,
+                            None,
+                        )
+                    )
+                if stay.any():
+                    stay_rows = {"wid": wid_a[stay], "step": step_a[stay], "cur": cand_a[stay], "prev": prev_a[stay]}
+            rej = ~acc
+            if rej.any():
+                # retry at cur with a fresh iid proposal — cur's owner is
+                # the shard that parked this walker (never this one:
+                # local-prev rows resolve inline and never park). prev is
+                # OURS, so piggyback its adjacency: the retry then resolves
+                # locally at the parker instead of bouncing back here.
+                moved += int(rej.sum())
+                r_pdeg, r_padj = self._adj_for(Q["prev"][rej] - self.lo, adj_cap)
+                w_out.append(
+                    (
+                        {"wid": Q["wid"][rej], "step": Q["step"][rej], "cur": Q["cur"][rej], "prev": Q["prev"][rej]},
+                        part_of(Q["cur"][rej], self.boundaries),
+                        r_pdeg,
+                        r_padj,
+                    )
+                )
+        # ---- local propose loop population ----
+        if stay_rows is not None:
+            pop.append((stay_rows, np.full(len(stay_rows["wid"]), -1, np.int64)))
+        if not pop:
+            return self._n2v_pack(w_out, [], counts, moved)
+        W = _concat([r for r, _ in pop])
+        aseg = np.concatenate([a for _, a in pop])
+        if not len(W.get("wid", ())):
+            return self._n2v_pack(w_out, [], counts, moved)
         wid, step, cur, prev = W["wid"], W["step"], W["cur"], W["prev"]
-        rng = rng_for(self._wseed, self.part_id + self.seed, superstep, 0)
-        cur_local = cur - self.lo
-        deg = self.outdeg[cur_local]
-        alive = (deg > 0) & (step < spec["length"])
-        wid, step, cur, prev = wid[alive], step[alive], cur[alive], prev[alive]
-        cur_local = cur - self.lo
         n = len(wid)
-        counts = {"moved": 0, "parked": 0, "local": 0, "sizes": zeros, "qsizes": zeros}
-        if n == 0:
-            self._parked = None
-            return (
-                *[_EMPTY() for _ in range(P)],
-                *[{"prev": np.empty(0, np.int64), "cand": np.empty(0, np.int64)} for _ in range(P)],
-                counts,
-            )
         # in-superstep LOCAL-CONTINUE loop (the reference's local-continue
         # extended to second order — walk.hpp:1056-1063 plus the
         # retry-until-accept loop walk.hpp:1030-1040, 1361-1364): a
@@ -580,8 +760,6 @@ class WalkMixin:
         # one-driver-round-per-accepted-step latency that dominated the
         # sharded node2vec benches.
         park_rows: list[tuple] = []
-        out_chunks: list[list[dict]] = [[] for _ in range(P)]
-        moved = 0
         # outlier-appendix mode (reference node2vec.hpp:47-106 +
         # walk.hpp:981-1014): when 1/p exceeds ub2 = max(1, 1/q), don't
         # fold 1/p into the rejection bound — give the single return edge
@@ -605,6 +783,7 @@ class WalkMixin:
             alive = (self.outdeg[cur_local] > 0) & (step < spec["length"])
             if not alive.all():
                 wid, step, cur, prev = wid[alive], step[alive], cur[alive], prev[alive]
+                aseg = aseg[alive]
                 n = len(wid)
                 if n == 0:
                     break
@@ -618,7 +797,7 @@ class WalkMixin:
                 pos = self.csr.indptr[cur_local] + idx
                 cand = self.csr.indices[pos]
                 dart = r - idx * ub2
-                accept, resolved = self._n2v_resolve(prev, cand, dart)
+                accept, resolved = self._n2v_resolve(prev, cand, dart, aseg)
                 if in_app.any():
                     # appendix: candidate IS the return edge; residual dart
                     # lands in [ub2, 1/p) < dyn(return)=1/p, so accept iff
@@ -661,7 +840,7 @@ class WalkMixin:
                 with np.errstate(invalid="ignore", divide="ignore"):
                     dart = (r - (self._wext[pos] - wlo) * ub2) / self.csr.weights[pos]
                 dart = np.clip(dart, 0.0, ub2)
-                accept, resolved = self._n2v_resolve(prev, cand, dart)
+                accept, resolved = self._n2v_resolve(prev, cand, dart, aseg)
                 if in_app.any():
                     # appendix mass exists only when the return edge does
                     # (w_ret > 0), so acceptance is unconditional; total
@@ -674,7 +853,7 @@ class WalkMixin:
                 pos = self._sample(cur_local, rng)
                 cand = self.csr.indices[pos]
                 dart = rng.random(n) * self._n2v_ub()
-                accept, resolved = self._n2v_resolve(prev, cand, dart)
+                accept, resolved = self._n2v_resolve(prev, cand, dart, aseg)
             a = accept & resolved
             pk = ~resolved
             if pk.any():
@@ -693,74 +872,116 @@ class WalkMixin:
                 mov = ~stay
                 if mov.any():
                     moved += int(mov.sum())
-                    mp = cpart[mov]
-                    order = np.argsort(mp, kind="stable")
-                    bounds = np.searchsorted(mp[order], np.arange(P + 1))
-                    for p in range(P):
-                        s, e = bounds[p], bounds[p + 1]
-                        if e > s:
-                            sl = order[s:e]
-                            out_chunks[p].append(
-                                {
-                                    "wid": wid_a[mov][sl],
-                                    "step": step_a[mov][sl],
-                                    "cur": cand_a[mov][sl],
-                                    "prev": prev_a[mov][sl],
-                                }
-                            )
+                    # the emigrant's new prev (= old cur) is OURS: piggyback
+                    # its (degree-capped) adjacency so the receiving shard
+                    # resolves every membership test locally — parking only
+                    # survives for hub prevs above the cap
+                    m_pdeg, m_padj = self._adj_for(prev_a[mov] - self.lo, adj_cap)
+                    w_out.append(
+                        (
+                            {"wid": wid_a[mov], "step": step_a[mov], "cur": cand_a[mov], "prev": prev_a[mov]},
+                            cpart[mov],
+                            m_pdeg,
+                            m_padj,
+                        )
+                    )
                 new_wid, new_step = wid_a[stay], step_a[stay]
                 new_cur, new_prev = cand_a[stay], prev_a[stay]
+                new_aseg = np.full(len(new_wid), -1, np.int64)  # prev local now
             else:
                 new_wid = np.empty(0, np.int64)
                 new_step = new_cur = new_prev = new_wid
+                new_aseg = new_wid
             rej = resolved & ~accept
             wid = np.concatenate([new_wid, wid[rej]])
             step = np.concatenate([new_step, step[rej]])
             cur = np.concatenate([new_cur, cur[rej]])
             prev = np.concatenate([new_prev, prev[rej]])
+            aseg = np.concatenate([new_aseg, aseg[rej]])
             n = len(wid)
             rnd += 1
-        # park unresolved walkers, bucketed by part(prev)
-        qbatches = [{"prev": np.empty(0, np.int64), "cand": np.empty(0, np.int64)} for _ in range(P)]
+        return self._n2v_pack(w_out, park_rows, counts, moved)
+
+    def _n2v_pack(self, w_out, park_rows, counts, moved):
+        """Build the per-target output envelopes: plain walker chunks get
+        cand=-1/dart=0 filler columns, parked walkers forward the FULL row
+        (dart included) to prev's owner — no parked state stays on this
+        actor, so checkpoints only ever snapshot (frontier, in-flight
+        envelopes), never a mid-mesh actor state. One stable argsort by
+        target routes everything."""
+        P = self.num_parts
+        chunks: list[dict] = []
+        padj_parts: list[np.ndarray] = []
+        for rows, tgt, pdeg, padj in w_out:
+            m = len(tgt)
+            if pdeg is None:
+                pdeg = np.zeros(m, np.int64)
+            else:
+                padj_parts.append(padj)
+            chunks.append(
+                rows
+                | {"cand": np.full(m, -1, dtype=np.int64), "dart": np.zeros(m), "pdeg": pdeg, "_tgt": tgt}
+            )
         if park_rows:
             pw = [np.concatenate([r[i] for r in park_rows]) for i in range(6)]
-            ppart = part_of(pw[3], self.boundaries)
-            order = np.argsort(ppart, kind="stable")
-            self._parked = {
-                "wid": pw[0][order],
-                "step": pw[1][order],
-                "cur": pw[2][order],
-                "prev": pw[3][order],
-                "cand": pw[4][order],
-                "dart": pw[5][order],
-                "bounds": np.searchsorted(ppart[order], np.arange(P + 1)),
-            }
-            b = self._parked["bounds"]
-            for p in range(P):
-                qbatches[p] = {"prev": self._parked["prev"][b[p] : b[p + 1]], "cand": self._parked["cand"][b[p] : b[p + 1]]}
             counts["parked"] = int(len(pw[0]))
-        else:
-            self._parked = None
-        out = [
-            _concat(out_chunks[p]) if out_chunks[p] else _EMPTY() | {"prev": np.empty(0, np.int64)}
-            for p in range(P)
-        ]
+            chunks.append(
+                {
+                    "wid": pw[0],
+                    "step": pw[1],
+                    "cur": pw[2],
+                    "prev": pw[3],
+                    "cand": pw[4],
+                    "dart": pw[5],
+                    "pdeg": np.zeros(len(pw[0]), np.int64),
+                    "_tgt": part_of(pw[3], self.boundaries),
+                }
+            )
+        out: list = [None] * P
+        total = 0
+        if chunks:
+            allr = _concat(chunks)
+            tgt = allr.pop("_tgt")
+            total = int(len(tgt))
+            order = np.argsort(tgt, kind="stable")
+            # ragged adjacency follows its rows through the permutation:
+            # unsorted row starts gathered in sorted order (one pass)
+            padj_all = np.concatenate(padj_parts) if padj_parts else np.empty(0, np.int64)
+            pdeg_u = allr["pdeg"]
+            starts_u = np.concatenate([[0], np.cumsum(pdeg_u)[:-1]])
+            data = {k: v[order] for k, v in allr.items()}
+            padj_sorted = padj_all[_ragged_idx(starts_u[order], data["pdeg"])]
+            padj_off = np.concatenate([[0], np.cumsum(data["pdeg"])])
+            bounds = np.searchsorted(tgt[order], np.arange(P + 1))
+            for p in range(P):
+                s, e = int(bounds[p]), int(bounds[p + 1])
+                if e > s:
+                    env = {k: v[s:e] for k, v in data.items()}
+                    env["padj"] = padj_sorted[int(padj_off[s]) : int(padj_off[e])]
+                    out[p] = env
         counts["moved"] = moved
-        counts["local"] = int(len(self._frontier.get("wid", ())))
-        # per-target sizes let the driver prune the respond/stepB mesh to
-        # the shards that actually hold queries or walkers (the reference's
-        # light mode applied to second order, constants.hpp:41)
-        counts["sizes"] = [int(len(o["wid"])) for o in out]
-        counts["qsizes"] = [int(len(q["prev"])) for q in qbatches]
-        return (*out, *qbatches, counts)
+        counts["n_out"] = total
+        return (*out, counts)
 
     def _n2v_ub(self) -> float:
         spec = self._wspec
         return max(1.0 / spec["p"], 1.0, 1.0 / spec["q"])
 
-    def _n2v_resolve(self, prev, cand, dart):
+    def _adj_for(self, verts_local: np.ndarray, cap: int):
+        """Degree-capped adjacency piggyback for LOCAL vertices: per-row
+        neighbour count (0 when deg > cap — the hub fallback) and the
+        flattened neighbour ids (dst-sorted, straight out of the CSR)."""
+        if len(verts_local) == 0 or cap <= 0:
+            return np.zeros(len(verts_local), np.int64), np.empty(0, np.int64)
+        starts = self.csr.indptr[verts_local]
+        deg = self.csr.indptr[verts_local + 1] - starts
+        pdeg = np.where(deg <= cap, deg, 0).astype(np.int64)
+        idx = _ragged_idx(starts, pdeg)
+        return pdeg, self.csr.indices[idx].astype(np.int64)
+
+    def _n2v_resolve(self, prev, cand, dart, aseg=None):
         """Locally-decidable accept/reject (bound shortcuts + cand==prev +
-        prev-owned-here membership probe)."""
+        prev-owned-here membership probe + piggybacked-adjacency probe)."""
         spec = self._wspec
         inv_p, inv_q = 1.0 / spec["p"], 1.0 / spec["q"]
         n = len(prev)
@@ -784,6 +1005,19 @@ class WalkMixin:
             dyn = np.where(member, 1.0, inv_q)
             accept[local_prev] = dart[local_prev] <= dyn
             resolved[local_prev] = True
+        if aseg is not None:
+            # piggybacked prev-adjacency: membership = one searchsorted on
+            # the wave's (segment << 32 | neighbour) composite — remote
+            # prevs resolve HERE instead of parking on a forwarded query
+            has = (~resolved) & (aseg >= 0)
+            if has.any():
+                comp = self._wave_comp
+                keys = (aseg[has].astype(np.uint64) << np.uint64(32)) | cand[has].astype(np.uint64)
+                pos = np.minimum(np.searchsorted(comp, keys), len(comp) - 1)
+                member = comp[pos] == keys
+                dyn = np.where(member, 1.0, inv_q)
+                accept[has] = dart[has] <= dyn
+                resolved[has] = True
         return accept, resolved
 
     def _n2v_apply(self, wid, step, cur, prev, cand, accept, resolved):
@@ -840,62 +1074,9 @@ class WalkMixin:
         (no per-superstep driver round-trips)."""
         ss = 0
         while len(self._frontier.get("wid", ())) and ss < max_supersteps:
-            self.n2v_stepA(ss)
+            self.n2v_step(ss)
             ss += 1
         return ss
-
-    def n2v_respond(self, *query_batches):
-        """Answer membership queries addressed to this shard (the
-        respond_query_func round, reference walk.hpp:1277-1324)."""
-        out = []
-        for qb in query_batches:
-            prev, cand = qb["prev"], qb["cand"]
-            if len(prev) == 0:
-                out.append(np.empty(0, dtype=bool))
-                continue
-            out.append(self.csr.contains_edges(prev - self.lo, cand))
-        return tuple(out)
-
-    def n2v_respond_one(self, qb):
-        """Single-origin respond (num_returns=1 would leave the 1-tuple
-        packed — same hazard as the P=1 triangle exchange)."""
-        return self.n2v_respond(qb)[0]
-
-    def n2v_queries(self):
-        """Re-derive the per-owner membership query batches from parked
-        state (mid-mesh resume: respond/stepB are RNG-free, so replaying
-        them from a restored parked table is bit-identical)."""
-        P = self.num_parts
-        out = [{"prev": np.empty(0, np.int64), "cand": np.empty(0, np.int64)} for _ in range(P)]
-        if self._parked is not None:
-            b = self._parked["bounds"]
-            for p in range(P):
-                out[p] = {
-                    "prev": self._parked["prev"][b[p] : b[p + 1]],
-                    "cand": self._parked["cand"][b[p] : b[p + 1]],
-                }
-        return tuple(out)
-
-    def n2v_stepB(self, *responses):
-        """Resolve parked walkers with membership responses (accept round,
-        reference walk.hpp:1326-1379). Responses arrive in ascending owner
-        order; owners with empty query buckets may be omitted entirely
-        (their buckets contribute zero rows to the concatenation)."""
-        P = self.num_parts
-        pk = self._parked
-        self._parked = None
-        if pk is None:
-            return (
-                *[_EMPTY() | {"prev": np.empty(0, np.int64)} for _ in range(P)],
-                {"moved": 0, "local": int(len(self._frontier.get("wid", ()))), "sizes": [0] * P},
-            )
-        member = np.concatenate([np.asarray(r) for r in responses]) if responses else np.empty(0, bool)
-        inv_q = 1.0 / self._wspec["q"]
-        dyn = np.where(member, 1.0, inv_q)
-        accept = pk["dart"] <= dyn
-        resolved = np.ones(len(accept), dtype=bool)
-        out, moved, local = self._n2v_apply(pk["wid"], pk["step"], pk["cur"], pk["prev"], pk["cand"], accept, resolved)
-        return (*out, {"moved": moved, "local": local, "sizes": [int(len(o["wid"])) for o in out]})
 
     # ------------------------------------------------------------------ #
     def walk_steps_taken(self) -> int:

@@ -54,12 +54,12 @@ def metapath_walk(graph, walker_num: int, schemes: list[list[int]], length: int 
     )
 
 
-def node2vec(graph, walker_num: int, p: float = 1.0, q: float = 1.0, length: int = 80, weighted: bool = False, start="equal", seed: int = 42, **kw):
+def node2vec(graph, walker_num: int, p: float = 1.0, q: float = 1.0, length: int = 80, weighted: bool = False, start="equal", seed: int = 42, adj_cap: int = 0, **kw):
     """Second-order biased walk (reference src/apps/node2vec.hpp:108-202)."""
     return random_walk(
         graph,
         WalkerSpec(walker_num, start),
-        Node2vecSpec(p=p, q=q, length=length, weighted=weighted),
+        Node2vecSpec(p=p, q=q, length=length, weighted=weighted, adj_cap=adj_cap),
         seed=seed,
         **kw,
     )

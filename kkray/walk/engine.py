@@ -231,14 +231,21 @@ def _run_replicated(graph, wspec: WalkerSpec, spec: dict, seed: int, return_data
     return ds if return_dataset else assemble_paths(ds, colocated=True)
 
 
-def _ckpt_walk(actors, checkpoint, incoming, P, next_superstep):
+def _ckpt_walk(actors, checkpoint, incoming, P, next_superstep, incoming_q=None):
     """PURE-SNAPSHOT checkpoint: each shard dumps (frontier + the in-flight
-    batches addressed to it + footprints + finals + parked proposals)
-    without mutating anything — the continuing run is bit-identical to a
-    run that never checkpointed; a resumed run re-injects the dumped
-    batches (shard-side ``_pending``) and, for second-order walks, replays
-    the RNG-free respond/stepB half-superstep from the parked table."""
-    dumps = ray.get([a.walk_ckpt_dump.remote(*incoming[p]) for p, a in enumerate(actors)])
+    batches addressed to it + footprints + finals + in-flight forwarded
+    queries) without mutating anything — the continuing run is
+    bit-identical to a run that never checkpointed; a resumed run
+    re-injects the dumped walker batches (shard-side ``_pending``) and
+    query batches (shard-side ``_pending_q``, resolved RNG-free exactly
+    like the live refs would have been)."""
+    iq = incoming_q if incoming_q is not None else [[] for _ in range(P)]
+    dumps = ray.get(
+        [
+            a.walk_ckpt_dump.remote(len(incoming[p]), *incoming[p], *iq[p])
+            for p, a in enumerate(actors)
+        ]
+    )
     checkpoint.save_tables(
         next_superstep,
         [d[0] for d in dumps],
@@ -285,96 +292,45 @@ def _drive_first_order(
 def _drive_second_order(
     actors, P, checkpoint=None, checkpoint_every=5, start_ss=0, max_supersteps=MAX_SUPERSTEPS, resume_info=None
 ):
-    """Pruned three-phase superstep mesh (the reference's light mode applied
-    to second order, constants.hpp:41 / walk.hpp:1134): stepA runs only on
-    shards with walkers or incoming batches, respond only on owners that
-    actually received queries, stepB only on shards that parked — a
-    long-tail node2vec run with three live walkers costs O(active) calls,
-    not O(P^2) per superstep."""
+    """PIPELINED single-phase query-forwarding mesh: each superstep is ONE
+    n2v_step task wave consuming the previous wave's per-target envelope
+    refs (inline-small batches ride in the task spec, big ones go through
+    plasma by reference — Ray picks the transport per batch), so
+    supersteps chain as pure dataflow and the driver pays one ray.get per
+    WINDOW of K supersteps, not one (or three, as in the reference's
+    propose/respond/resolve stateQuery mesh — walk.hpp:1082-1381) per
+    superstep. node2vec walks are length-bounded, so the unpruned P
+    tasks/superstep cost is bounded by ~length windows of near-empty tasks
+    in the retry tail; long-tail geometric walks keep the pruned
+    per-superstep first-order driver instead."""
     superstep = start_ss
-    incoming: list[list] = [[] for _ in range(P)]
-    if resume_info is not None:
-        active = {p for p, (work, _) in enumerate(resume_info) if work}
-        if P > 1 and any(pk for _, pk in resume_info):
-            # the checkpoint landed mid-mesh: replay the RNG-free
-            # respond/stepB half-superstep from the restored parked state
-            rq = [a.n2v_queries.options(num_returns=P).remote() for a in actors]
-            rr = [
-                actors[p].n2v_respond.options(num_returns=P).remote(*[rq[q][p] for q in range(P)])
+    w_in: list[list] = [[] for _ in range(P)]
+    # resume: restored pending walker/query rows live shard-side and are
+    # consumed by the first wave automatically (nothing to replay — query
+    # resolution is RNG-free and happens inside the normal step)
+    K = max(1, int(checkpoint_every)) if checkpoint is not None else 16
+    while superstep < max_supersteps:
+        window = min(K, max_supersteps - superstep)
+        last = None
+        for _ in range(window):
+            refs = {
+                p: actors[p].n2v_step.options(num_returns=P + 1).remote(superstep, *w_in[p])
                 for p in range(P)
-            ]
-            rb = [
-                actors[q].n2v_stepB.options(num_returns=P + 1).remote(*[rr[p][q] for p in range(P)])
-                for q in range(P)
-            ]
-            counts_b = ray.get([r[P] for r in rb])
-            for q, c in enumerate(counts_b):
-                if c["local"]:
-                    active.add(q)
-                for t, sz in enumerate(c["sizes"]):
-                    if sz:
-                        incoming[t].append(rb[q][t])
-                        active.add(t)
-    else:
-        active = set(range(P))
-    while superstep < max_supersteps and active:
-        targets = sorted(active)
-        ra = {
-            p: actors[p].n2v_stepA.options(num_returns=2 * P + 1).remote(superstep, *incoming[p])
-            for p in targets
-        }
-        counts_a = {p: c for p, c in zip(targets, ray.get([ra[p][2 * P] for p in targets]))}
-        incoming = [[] for _ in range(P)]
-        if checkpoint is not None and (superstep + 1) % checkpoint_every == 0:
-            # mid-mesh snapshot (between stepA and stepB): in-flight stepA
-            # emigrants + parked proposals dump verbatim; the mesh then
-            # continues untouched, so the walk itself never notices
-            pend = [[] for _ in range(P)]
-            for p in targets:
-                for t, sz in enumerate(counts_a[p]["sizes"]):
-                    if sz:
-                        pend[t].append(ra[p][t])
-            _ckpt_walk(actors, checkpoint, pend, P, superstep + 1)
-        # membership-query exchange: only queried owners respond, only over
-        # the nonzero query batches (actor q's query batch for owner o is
-        # ra[q][P+o]); responses route back keyed (owner, origin)
-        by_owner: dict[int, list[int]] = {}
-        for p in targets:
-            for o, sz in enumerate(counts_a[p]["qsizes"]):
-                if sz:
-                    by_owner.setdefault(o, []).append(p)
-        resp: dict = {}
-        for o, origins in sorted(by_owner.items()):
-            if len(origins) == 1:
-                resp[(o, origins[0])] = actors[o].n2v_respond_one.remote(ra[origins[0]][P + o])
-            else:
-                rr = actors[o].n2v_respond.options(num_returns=len(origins)).remote(
-                    *[ra[p][P + o] for p in origins]
-                )
-                for jj, p in enumerate(origins):
-                    resp[(o, p)] = rr[jj]
-        # stepB only on shards that parked; responses in ascending owner
-        # order (empty buckets contribute zero rows to the concatenation)
-        parked = [p for p in targets if counts_a[p]["parked"]]
-        rb = {}
-        for q in parked:
-            owners = [o for o, sz in enumerate(counts_a[q]["qsizes"]) if sz]
-            rb[q] = actors[q].n2v_stepB.options(num_returns=P + 1).remote(*[resp[(o, q)] for o in owners])
-        counts_b = {q: c for q, c in zip(parked, ray.get([rb[q][P] for q in parked]))}
-        # next-superstep work: local frontiers + emigrants from both phases
-        active = {p for p in targets if counts_a[p]["local"] and p not in counts_b}
-        active |= {q for q, c in counts_b.items() if c["local"]}
-        for p in targets:
-            for t, sz in enumerate(counts_a[p]["sizes"]):
-                if sz:
-                    incoming[t].append(ra[p][t])
-                    active.add(t)
-        for q in parked:
-            for t, sz in enumerate(counts_b[q]["sizes"]):
-                if sz:
-                    incoming[t].append(rb[q][t])
-                    active.add(t)
-        superstep += 1
+            }
+            w_in = [[refs[p][q] for p in range(P)] for q in range(P)]
+            last = refs
+            superstep += 1
+        if checkpoint is not None and superstep % checkpoint_every == 0:
+            dumps = ray.get([a.n2v_ckpt_dump.remote(*w_in[p]) for p, a in enumerate(actors)])
+            checkpoint.save_tables(
+                superstep,
+                [d[0] for d in dumps],
+                metrics={"nsteps": [int(d[1]) for d in dumps]},
+                lineage={"op": "walk", "next_superstep": int(superstep), "num_parts": P},
+            )
+        counts = ray.get([last[p][P] for p in range(P)])
+        if all(c["n_out"] == 0 for c in counts):
+            break
 
 
 def _assemble_block(t: pa.Table) -> pa.Table:

@@ -102,6 +102,16 @@ class Node2vecSpec:
     # 1/p > max(1, 1/q); False folds 1/p into the scalar bound instead
     # (the pre-appendix formulation — kept togglable for A/B benchmarks)
     appendix: bool = True
+    # adjacency piggyback: an emigrating walker carries prev's neighbor
+    # list when deg(prev) <= adj_cap, so the receiving shard resolves the
+    # second-order membership test locally instead of forwarding a query;
+    # hubs above the cap fall back to query forwarding. MEASURED on this
+    # single-node plasma fabric the extra envelope volume (~(1+deg)x row
+    # size) costs more than the one forwarded 48-byte query row it saves
+    # (16M-edge A/B: 24.9s pure-forwarding vs 40.0s cap=32), so the
+    # default is OFF; the knob exists for high-latency network fabrics
+    # where a routed hop costs more than bandwidth.
+    adj_cap: int = 0
 
     def to_dict(self) -> dict:
         return {
@@ -112,4 +122,5 @@ class Node2vecSpec:
             "weighted": bool(self.weighted),
             "sampler": self.sampler,
             "appendix": bool(self.appendix),
+            "adj_cap": int(self.adj_cap),
         }

@@ -174,7 +174,10 @@ def test_walk_checkpoint_mid_mesh_node2vec(ray_session, tmp_path):
     v = 40
     src, dst = random_edges(v, 260, seed=15, undirected=True)
     ws = WalkerSpec(100, "equal")
-    ts = Node2vecSpec(p=0.5, q=4.0, length=12)  # heavy parking: remote prev + wide (lo2,hi2]
+    # heavy parking: remote prev + wide (lo2,hi2]; adj_cap=0 disables the
+    # adjacency piggyback so the query-forwarding fallback (the path this
+    # test checkpoints mid-flight) actually carries the walkers
+    ts = Node2vecSpec(p=0.5, q=4.0, length=12, adj_cap=0)
     with Graph.from_arrays(src, dst, num_parts=4, v_num=v) as g:
         full = _paths_df(random_walk(g, ws, ts, seed=21))
     ck = CheckpointManager(str(tmp_path), "n2v_mid")

@@ -344,3 +344,42 @@ def test_mh_stationary_uniform_pool(ray_session):
     # contrast: the simple-walk bias would put deg(0)/2E ~ 3x mass on the hub
     deg = np.bincount(s, minlength=v)
     assert freq[0] < 1.5 / v < deg[0] / deg.sum()
+
+
+@_pytest.mark.parametrize("cap", [0, 10_000])
+def test_node2vec_adjacency_piggyback_matrix(ray_session, cap):
+    """The adjacency-piggyback path (adj_cap high enough to cover every
+    vertex) must sample the SAME second-order transition matrix as the
+    default query-forwarding mesh — membership answered from the shipped
+    neighbour list instead of at prev's owner, identical acceptance law."""
+    v, e = 18, 60
+    src, dst = random_edges(v, e, seed=31, undirected=True)
+    nbrs = [set() for _ in range(v)]
+    for a, b in zip(src, dst):
+        nbrs[a].add(b)
+    p_, q_ = 0.5, 2.0
+    with Graph.from_arrays(src, dst, num_parts=3, v_num=v) as g:
+        paths = paths_to_numpy(
+            node2vec(g, walker_num=20000, p=p_, q=q_, length=6, seed=41, adj_cap=cap)
+        )
+    counts: dict = {}
+    for pth in paths.values():
+        for i in range(len(pth) - 2):
+            u, vv, x = int(pth[i]), int(pth[i + 1]), int(pth[i + 2])
+            counts.setdefault((u, vv), {}).setdefault(x, 0)
+            counts[(u, vv)][x] += 1
+    checked = 0
+    for (u, vv), nxt in counts.items():
+        n = sum(nxt.values())
+        if n < 400:
+            continue
+        weights = {}
+        for x in nbrs[vv]:
+            weights[x] = (1.0 / p_) if x == u else (1.0 if x in nbrs[u] else 1.0 / q_)
+        tot = sum(weights.values())
+        l1 = sum(abs(nxt.get(x, 0) / n - wgt / tot) for x, wgt in weights.items())
+        assert l1 < 0.15, f"cap={cap} state ({u},{vv}): L1={l1:.3f}"
+        for x in nxt:
+            assert x in weights, f"impossible transition {u}->{vv}->{x}"
+        checked += 1
+    assert checked >= 5
