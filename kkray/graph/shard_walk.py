@@ -38,19 +38,6 @@ from .partition import part_of
 from ..utils import rng_for
 
 _EMPTY = lambda: {"wid": np.empty(0, np.int64), "step": np.empty(0, np.int64), "cur": np.empty(0, np.int64)}
-# a forwarded second-order query row: full walker state + proposal + dart
-_EMPTY_Q = lambda: {
-    "wid": np.empty(0, np.int64),
-    "step": np.empty(0, np.int64),
-    "cur": np.empty(0, np.int64),
-    "prev": np.empty(0, np.int64),
-    "cand": np.empty(0, np.int64),
-    "dart": np.empty(0, np.float64),
-    "pdeg": np.empty(0, np.int64),
-    "padj": np.empty(0, np.int64),
-}
-
-
 def _ragged_idx(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Flat gather positions for ragged rows: row i contributes
     starts[i] + [0..lens[i])."""
@@ -149,18 +136,6 @@ def _concat(batches: list[dict]) -> dict:
         return {}
     keys = batches[0].keys()
     return {k: np.concatenate([b[k] for b in batches]) for k in keys}
-
-
-def _route_rows(chunks: list[list[dict]], parts: np.ndarray, rows: dict, P: int) -> None:
-    """Bucket `rows` (parallel arrays) by the per-row partition id in
-    `parts`, appending one chunk per nonempty destination to `chunks`."""
-    order = np.argsort(parts, kind="stable")
-    bounds = np.searchsorted(parts[order], np.arange(P + 1))
-    for p in range(P):
-        s, e = bounds[p], bounds[p + 1]
-        if e > s:
-            sl = order[s:e]
-            chunks[p].append({k: v[sl] for k, v in rows.items()})
 
 
 class WalkMixin:
