@@ -179,8 +179,11 @@ def random_walk(
 
     if spec["kind"] == "node2vec":
         _drive_second_order(actors, P, checkpoint, checkpoint_every, start_ss, max_supersteps, resume_info)
-    else:
+    elif spec["kind"] == "geometric":
+        # unbounded tail: keep the pruned per-superstep driver (light mode)
         _drive_first_order(actors, P, checkpoint, checkpoint_every, start_ss, max_supersteps, resume_info)
+    else:
+        _drive_first_order_windowed(actors, P, checkpoint, checkpoint_every, start_ss, max_supersteps)
 
     # footprints stay in the object store: one arrow-table ref per shard,
     # never concatenated on the driver (reference path.hpp:164-250 shuffle)
@@ -252,6 +255,38 @@ def _ckpt_walk(actors, checkpoint, incoming, P, next_superstep, incoming_q=None)
         metrics={"nsteps": [int(d[1]) for d in dumps]},
         lineage={"op": "walk", "next_superstep": int(next_superstep), "num_parts": P},
     )
+
+
+def _drive_first_order_windowed(
+    actors, P, checkpoint=None, checkpoint_every=5, start_ss=0, max_supersteps=MAX_SUPERSTEPS
+):
+    """Pipelined window drive for LENGTH-BOUNDED first-order kinds
+    (truncated/mh/metapath/custom): supersteps chain as pure dataflow
+    (wave t+1's tasks consume wave t's per-target emigrant refs) and the
+    driver pays one ray.get per K-wave window instead of one per
+    superstep — the same shape as the second-order forwarding mesh.
+    Geometric (PPR) walks keep the pruned per-superstep driver below:
+    their tail is unbounded, so unpruned windows would burn O(P) no-op
+    tasks per wave for the whole tail."""
+    superstep = start_ss
+    w_in: list[list] = [[] for _ in range(P)]
+    K = max(1, int(checkpoint_every)) if checkpoint is not None else 16
+    while superstep < max_supersteps:
+        window = min(K, max_supersteps - superstep)
+        last = None
+        for _ in range(window):
+            refs = {
+                p: actors[p].walk_step.options(num_returns=P + 1).remote(superstep, *w_in[p])
+                for p in range(P)
+            }
+            w_in = [[refs[p][q] for p in range(P)] for q in range(P)]
+            last = refs
+            superstep += 1
+        if checkpoint is not None and superstep % checkpoint_every == 0:
+            _ckpt_walk(actors, checkpoint, w_in, P, superstep)
+        metas = ray.get([last[p][P] for p in range(P)])
+        if all(not any(m["sizes"]) for m in metas):
+            break
 
 
 def _drive_first_order(
