@@ -525,6 +525,9 @@ def run_scaling(repeat: int = 2, mid: bool = False) -> dict:
             "roofline_efficiency_8_to_32": round(roof_eff, 3),
         },
         "bandwidth_normalized_efficiency": round(min(1.0, eff / max(roof_eff, 1e-9)), 3),
+        # uncapped ratio for transparency: >1 means the engine's 8->32
+        # scaling exceeded the host memory system's own scaling
+        "raw_over_roofline": round(eff / max(roof_eff, 1e-9), 3),
         "total_sec_8cpu": lo["value"],
         "total_sec_32cpu": hi["value"],
         "queries_8": lo["queries"],
