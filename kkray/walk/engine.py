@@ -417,9 +417,11 @@ def assemble_footprint_refs(refs: list, num_reducers: int | None = None) -> ray.
     nothing ever lands on the driver."""
     if num_reducers is None:
         num_reducers = max(2, int(ray.cluster_resources().get("CPU", 4)))
-    parts = [_split_by_walker.options(num_returns=num_reducers).remote(r, num_reducers) for r in refs]
     if num_reducers == 1:
-        parts = [[p] for p in parts]
+        # no routing needed — one reducer concats every ref directly
+        # (num_returns=1 would hand the reducer an unsplit 1-tuple)
+        return ray.data.from_arrow_refs([_reduce_assemble.remote(*refs)])
+    parts = [_split_by_walker.options(num_returns=num_reducers).remote(r, num_reducers) for r in refs]
     out = [_reduce_assemble.remote(*[parts[i][k] for i in range(len(parts))]) for k in range(num_reducers)]
     return ray.data.from_arrow_refs(out)
 
