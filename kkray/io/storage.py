@@ -106,7 +106,11 @@ def read_edgelist_text(paths: str | list[str], weighted: bool = False) -> ray.da
 
     def parse(t: pa.Table) -> pa.Table:
         col = pc.cast(t.column("text"), pa.string())
-        toks = pc.utf8_split_whitespace(col)  # splits on runs, drops leading/trailing
+        # split_whitespace merges interior runs but does NOT drop
+        # leading/trailing whitespace (it emits empty tokens there, which
+        # would shift fields / fail the numeric cast) — trim first
+        col = pc.utf8_trim_whitespace(col)
+        toks = pc.utf8_split_whitespace(col)
         toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
         keep = pc.greater_equal(pc.list_value_length(toks), need)
         toks = pc.filter(toks, keep)
