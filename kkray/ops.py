@@ -39,7 +39,13 @@ def collect_arrow(ds: ray.data.Dataset, empty_schema: pa.Schema | None = None) -
         return empty_schema.empty_table()
     schema = ds.schema(fetch_if_missing=True)
     base = getattr(schema, "base_schema", None) if schema is not None else None
-    return pa.schema(list(base) if base is not None else []).empty_table()
+    if isinstance(base, pa.Schema):
+        return base.empty_table()
+    if base is not None and hasattr(base, "names") and hasattr(base, "types"):
+        # PandasBlockSchema (pandas-block pipelines): numpy dtypes -> arrow
+        fields = [(n, pa.from_numpy_dtype(np.dtype(t))) for n, t in zip(base.names, base.types)]
+        return pa.schema(fields).empty_table()
+    return pa.schema([]).empty_table()
 
 
 def pa_from_pandas(df: pd.DataFrame) -> pa.Table:

@@ -74,6 +74,17 @@ def exact_dedup(docs: ray.data.Dataset, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def _union_typed_empty(ds: ray.data.Dataset, **cols) -> ray.data.Dataset:
+    """Append a zero-row block with the operator's declared schema (numpy
+    dtype strings): a pipeline whose shuffles saw no rows at all (e.g.
+    every doc shingle-less) otherwise surfaces a schema-less empty dataset
+    (groupby/map_groups on empty inputs emits degenerate blocks) and
+    consumers lose the columns. A pandas block, matching the block type the
+    final verify/finalize stages emit."""
+    empty = pd.DataFrame({k: pd.Series(dtype=np.dtype(t)) for k, t in cols.items()})
+    return ds.union(ray.data.from_pandas(empty))
+
+
 def _shingles(text: str, n: int) -> set:
     toks = text.split()
     if len(toks) < n:
@@ -175,6 +186,13 @@ class MinHasher:
         ids_in = df["doc_id"].to_numpy()
         n_docs = len(texts)
         sigs = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        # docs with ZERO shingles (no tokens) emit no bands at all: the
+        # all-max sentinel signature would otherwise put every empty doc
+        # in the same buckets (O(k^2) candidate blowup on a corpus with
+        # many empty docs) and pair docs the exact inverted-index operator
+        # structurally cannot pair (no shared shingle), breaking the
+        # documented LSH-pairs <= exact-pairs containment invariant.
+        has_shingle = np.zeros(n_docs, dtype=bool)
         r = _shingle_token_hashes(texts, self.n)
         if r is not None:
             sh, doc_of, last_ok, _ = r
@@ -189,6 +207,11 @@ class MinHasher:
                 seg_docs = doc_sel[seg_starts]
                 mins = np.minimum.reduceat(vals, seg_starts, axis=1)  # (P, n_segs)
                 sigs[seg_docs] = mins.T.astype(np.uint64)
+                has_shingle[seg_docs] = True
+        if not has_shingle.all():
+            sigs = sigs[has_shingle]
+            ids_in = ids_in[has_shingle]
+            n_docs = int(has_shingle.sum())
         # band hashes: xor-fold each band's rows, then mix
         band_hash = np.empty((n_docs, self.bands), dtype=np.uint64)
         with np.errstate(over="ignore"):
@@ -262,7 +285,10 @@ def minhash_lsh_pairs(
         dup = (p[1:] == p[:-1]) & (f[1:] == f[:-1])
         inter = np.bincount(p[1:][dup], minlength=npair)
         union = tot - inter
-        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        # union == 0 (two zero-shingle docs) scores 0, matching the exact
+        # inverted-index operator, which cannot pair shingle-less docs
+        # (exact_dedup is the operator that groups identical empties)
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         out = pd.DataFrame({"a": a_ids, "b": b_ids, "jaccard": jac})
         return out[out["jaccard"] >= threshold]
 
@@ -287,7 +313,10 @@ def minhash_lsh_pairs(
                 tb = df["b"].map(self.texts).fillna("")
                 return jaccard_rows(df["a"].to_numpy(), df["b"].to_numpy(), ta, tb)
 
-        return cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+        return _union_typed_empty(
+            cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4)),
+            a="int64", b="int64", jaccard="float64",
+        )
 
     nparts = max(2, int(ray.cluster_resources().get("CPU", 4)))
 
@@ -304,7 +333,10 @@ def minhash_lsh_pairs(
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         return jaccard_rows(df["a"].to_numpy(), df["b"].to_numpy(), df["text_a"], df["text_b"])
 
-    return with_b.map_batches(verify, batch_format="pandas")
+    return _union_typed_empty(
+        with_b.map_batches(verify, batch_format="pandas"),
+        a="int64", b="int64", jaccard="float64",
+    )
 
 
 def near_dedup(
@@ -495,10 +527,11 @@ def ngram_jaccard_pairs(
 
     # the wide step: one multi-key groupby shuffle merges the per-shard
     # partial counts (sa/sb ride along as keys — constant per (a,b))
-    return (
+    return _union_typed_empty(
         partial.groupby(["a", "b", "sa", "sb"], num_partitions=num_partitions)
         .sum("i")
-        .map_batches(finalize, batch_format="pandas")
+        .map_batches(finalize, batch_format="pandas"),
+        a="int64", b="int64", jaccard="float64",
     )
 
 
@@ -564,7 +597,10 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Data
         out = pd.DataFrame({"a": df["a"], "b": df["b"], "hamming": ham})
         return out[out["hamming"] <= max_hamming]
 
-    return cand.map_batches(verify, batch_format="pandas")
+    return _union_typed_empty(
+        cand.map_batches(verify, batch_format="pandas"),
+        a="int64", b="int64", hamming="int64",
+    )
 
 
 def embedding_near_dup(
