@@ -84,6 +84,23 @@ def main(argv=None):
     hg.add_argument("--url-map", required=True)
     hg.add_argument("--out", required=True)
 
+    dd = sub.add_parser("dedup", help="documents parquet -> dedup parquet (pairs or keep-set)")
+    dd.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--mode", choices=["exact", "minhash", "ngram", "simhash"], default="exact")
+    dd.add_argument("--threshold", type=float, default=0.5, help="jaccard threshold (minhash/ngram)")
+    dd.add_argument("--shingle-n", type=int, default=3)
+    dd.add_argument("--max-hamming", type=int, default=3, help="simhash hamming cutoff")
+
+    kn = sub.add_parser("knn", help="embeddings parquet -> top-k cosine neighbours parquet")
+    kn.add_argument("--embeddings", required=True, help="parquet with (vec_id, embedding)")
+    kn.add_argument("--queries-file", required=True, help="parquet of query rows (same schema); all rows are queries")
+    kn.add_argument("--out", required=True)
+    kn.add_argument("--k", type=int, default=10)
+    kn.add_argument("--mode", choices=["brute", "ivf"], default="brute")
+    kn.add_argument("--nlist", type=int, default=64)
+    kn.add_argument("--nprobe", type=int, default=8)
+
     wk = sub.add_parser("walk", parents=[common])
     wk.add_argument("--kind", choices=["deepwalk", "ppr", "node2vec", "mh"], default="deepwalk")
     wk.add_argument("--walkers", type=int, required=True)
@@ -100,6 +117,41 @@ def main(argv=None):
     import ray.data
 
     t0 = time.perf_counter()
+    if args.cmd == "dedup":
+        from .ops import collect_arrow
+        from .textops.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+
+        docs = ray.data.read_parquet(args.docs, columns=["doc_id", "text"])
+        if args.mode == "exact":
+            out = exact_dedup(docs)
+        elif args.mode == "minhash":
+            out = minhash_lsh_pairs(docs, shingle_n=args.shingle_n, threshold=args.threshold)
+        elif args.mode == "ngram":
+            out = ngram_jaccard_pairs(docs, shingle_n=args.shingle_n, threshold=args.threshold)
+        else:
+            out = simhash_pairs(docs, max_hamming=args.max_hamming)
+        n = out.count()
+        if n:
+            out.write_parquet(args.out)
+        else:  # zero-row blocks would lose the schema through write_parquet
+            ray.data.from_arrow(collect_arrow(out)).write_parquet(args.out)
+        print(json.dumps({"cmd": "dedup", "mode": args.mode, "rows": n, "sec": round(time.perf_counter() - t0, 2)}))
+        return 0
+
+    if args.cmd == "knn":
+        from .textops.ann import knn_brute, knn_ivf
+
+        emb = ray.data.read_parquet(args.embeddings, columns=["vec_id", "embedding"])
+        qdf = ray.data.read_parquet(args.queries_file, columns=["embedding"]).to_pandas()
+        queries = np.stack(qdf["embedding"].to_numpy())
+        if args.mode == "brute":
+            res = knn_brute(emb, queries, k=args.k)
+        else:
+            res = knn_ivf(emb, queries, k=args.k, nlist=args.nlist, nprobe=args.nprobe)
+        ray.data.from_pandas(res).write_parquet(args.out)
+        print(json.dumps({"cmd": "knn", "mode": args.mode, "rows": len(res), "sec": round(time.perf_counter() - t0, 2)}))
+        return 0
+
     if args.cmd == "ingest":
         from .io.edges import build_edge_table
         from .io.extract import ExtractText

@@ -1,0 +1,53 @@
+"""CLI smoke tests for the training-data subcommands (dedup, knn) — the
+job-submit surface over the textops operators; each writes real parquet."""
+import json
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from kkray.cli import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cli_dedup_exact_and_ngram(ray_session, tmp_path, capsys):
+    out1 = str(tmp_path / "exact")
+    assert main(["dedup", "--docs", f"{SF}/documents.parquet", "--out", out1, "--mode", "exact"]) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["cmd"] == "dedup" and line["rows"] > 0
+    t = pq.read_table(out1)
+    assert t.schema.names == ["doc_id", "dup_count"]
+    assert t.num_rows == line["rows"]
+
+    out2 = str(tmp_path / "ngram")
+    assert main(
+        ["dedup", "--docs", f"{SF}/documents.parquet", "--out", out2, "--mode", "ngram", "--threshold", "0.5"]
+    ) == 0
+    t2 = pq.read_table(out2)
+    assert t2.schema.names == ["a", "b", "jaccard"]
+    if t2.num_rows:
+        a = t2.column("a").to_numpy()
+        b = t2.column("b").to_numpy()
+        assert (a < b).all()
+        assert (t2.column("jaccard").to_numpy() >= 0.5).all()
+
+
+def test_cli_knn_brute(ray_session, tmp_path, capsys):
+    out = str(tmp_path / "knn")
+    assert main(
+        [
+            "knn",
+            "--embeddings", f"{SF}/embeddings.parquet",
+            "--queries-file", f"{SF}/embeddings.parquet",
+            "--out", out, "--k", "2",
+        ]
+    ) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    t = pq.read_table(out)
+    assert t.num_rows == line["rows"] > 0
+    assert set(t.schema.names) == {"query_id", "rank", "vec_id", "cosine"}
+    # rank-0 neighbour of each self-query is itself (cosine 1)
+    df = t.to_pandas()
+    r0 = df[df["rank"] == 0].sort_values("query_id")
+    assert np.allclose(r0["cosine"].to_numpy(), 1.0, atol=1e-9)
