@@ -43,10 +43,15 @@ def connected_components(
         t0 = time.perf_counter()
         hub = graph.hub_value_array("label")
         href = ray.put(hub) if hub is not None else None
-        scat = [a.cc_scatter.options(num_returns=P).remote(href) for a in actors]
-        changed = ray.get(
-            [actors[p].cc_gather.remote(*[scat[q][p] for q in range(P)]) for p in range(P)]
-        )
+        if P == 1:
+            # num_returns=1 leaves the scatter's 1-tuple packed in one ref
+            a0 = actors[0]
+            changed = [ray.get(a0.cc_gather_packed.remote(a0.cc_scatter.remote(href)))]
+        else:
+            scat = [a.cc_scatter.options(num_returns=P).remote(href) for a in actors]
+            changed = ray.get(
+                [actors[p].cc_gather.remote(*[scat[q][p] for q in range(P)]) for p in range(P)]
+            )
         total_changed = int(sum(changed))
         if checkpoint is not None and (it % checkpoint_every == 0 or total_changed == 0):
             parts = ray.get([a.cc_get.remote() for a in actors])

@@ -42,10 +42,15 @@ def label_propagation(
         t0 = time.perf_counter()
         hub = graph.hub_value_array("label")
         href = ray.put(hub) if hub is not None else None
-        scat = [a.lp_scatter.options(num_returns=P).remote(href) for a in actors]
-        changed = ray.get(
-            [actors[p].lp_gather.remote(*[scat[q][p] for q in range(P)]) for p in range(P)]
-        )
+        if P == 1:
+            # num_returns=1 leaves the scatter's 1-tuple packed in one ref
+            a0 = actors[0]
+            changed = [ray.get(a0.lp_gather_packed.remote(a0.lp_scatter.remote(href)))]
+        else:
+            scat = [a.lp_scatter.options(num_returns=P).remote(href) for a in actors]
+            changed = ray.get(
+                [actors[p].lp_gather.remote(*[scat[q][p] for q in range(P)]) for p in range(P)]
+            )
         if checkpoint is not None and it % checkpoint_every == 0:
             parts = ray.get([a.lp_get.remote() for a in actors])
             checkpoint.save(

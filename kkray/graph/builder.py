@@ -329,8 +329,13 @@ class Graph:
         """Global in-degree vector: per-shard dense partials summed at the
         owner (reference graph.hpp:445-459 re-expressed as scatter+sum)."""
         P = self.num_parts
-        refs = [a.indeg_partials.options(num_returns=P).remote() for a in self.actors]
         out = np.zeros(self.v_num, dtype=np.int64)
+        if P == 1:
+            # num_returns=1 leaves the 1-tuple packed in one ref
+            (part,) = ray.get(self.actors[0].indeg_partials.remote())
+            out[: len(part)] += part
+            return out
+        refs = [a.indeg_partials.options(num_returns=P).remote() for a in self.actors]
         for p in range(P):
             lo = int(self.boundaries[p])
             for part in ray.get([refs[q][p] for q in range(P)]):

@@ -484,6 +484,11 @@ class ShardCore(WalkMixin):
             out.append((dsts, mins))
         return tuple(out)
 
+    def cc_gather_packed(self, packed) -> int:
+        # P == 1: num_returns=1 hands the driver ONE ref to the unsplit
+        # 1-tuple (same pitfall as bfs/sssp_gather_packed)
+        return self.cc_gather(*packed)
+
     def cc_gather(self, *partials) -> int:
         new = self.label.copy()
         for dsts, mins in partials:
@@ -531,6 +536,9 @@ class ShardCore(WalkMixin):
             counts = np.diff(np.concatenate([starts, [len(d)]]))
             out.append((d[starts], l[starts], counts))
         return tuple(out)
+
+    def lp_gather_packed(self, packed) -> int:
+        return self.lp_gather(*packed)
 
     def lp_gather(self, *partials) -> int:
         """Merge (dst,label,count) partials; per dst adopt argmax-count
