@@ -11,7 +11,7 @@ import numpy as np
 from hypothesis import given, settings, strategies as st
 
 from kkray.graph import Graph
-from kkray.walk import deepwalk, mh_walk, node2vec, ppr_walk
+from kkray.walk import deepwalk, metapath_walk, mh_walk, node2vec, ppr_walk
 from kkray.walk.engine import paths_to_numpy
 
 from graphgen import random_edges
@@ -92,3 +92,52 @@ def test_first_order_walk_invariants(ray_session, v, e, parts, weighted, gseed, 
             assert a == b or (int(a), int(b)) in edge_set, ("mh", wid, a, b)
         if len(path) < length + 1:
             assert outdeg[path[-1]] == 0
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    v=st.integers(min_value=5, max_value=35),
+    e=st.integers(min_value=15, max_value=250),
+    parts=st.integers(min_value=1, max_value=4),
+    ntypes=st.integers(min_value=1, max_value=4),
+    schemes=st.lists(
+        st.lists(st.integers(min_value=1, max_value=15), min_size=1, max_size=4),
+        min_size=1,
+        max_size=3,
+    ),
+    gseed=st.integers(min_value=0, max_value=10_000),
+    wseed=st.integers(min_value=0, max_value=10_000),
+)
+def test_metapath_walk_invariants(ray_session, v, e, parts, ntypes, schemes, gseed, wseed):
+    """Randomized edge types and scheme bitmasks: every consumed edge's
+    type must be allowed at the walker's cyclic scheme position; a walk
+    truncates early ONLY when the current vertex has no out-edge of an
+    allowed type; same seed replays identically."""
+    tmask_all = (1 << ntypes) - 1
+    schemes = [[m & tmask_all or 1 for m in s] for s in schemes]
+    src, dst = random_edges(v, e, seed=gseed, undirected=True)
+    if len(src) == 0:
+        return
+    rng = np.random.Generator(np.random.Philox(gseed + 3))
+    et = rng.integers(0, ntypes, len(src)).astype(np.int32)
+    etype_of = {(int(a), int(b)): int(t) for a, b, t in zip(src, dst, et)}
+    # out-neighbour type bitmask per vertex, for the stuck-only-truncation check
+    vmask = np.zeros(v, dtype=np.int64)
+    for a, t in zip(src.tolist(), et.tolist()):
+        vmask[a] |= 1 << t
+    length = 6
+    walkers = 24
+    with Graph.from_arrays(src, dst, etype=et, num_parts=parts, v_num=v) as g:
+        p1 = paths_to_numpy(metapath_walk(g, walker_num=walkers, schemes=schemes, length=length, seed=wseed))
+        p2 = paths_to_numpy(metapath_walk(g, walker_num=walkers, schemes=schemes, length=length, seed=wseed))
+    S = len(schemes)
+    for wid, path in p1.items():
+        assert path[0] == wid % v
+        sch = schemes[wid % S]
+        for i in range(len(path) - 1):
+            t = etype_of[(int(path[i]), int(path[i + 1]))]
+            assert (1 << t) & sch[i % len(sch)], (wid, i, t, sch)
+        if len(path) < length + 1:  # stuck: no out-edge of the allowed type
+            pos = (len(path) - 1) % len(sch)
+            assert not (vmask[path[-1]] & sch[pos]), (wid, path[-1], sch[pos])
+        assert np.array_equal(path, p2[wid])
