@@ -745,20 +745,22 @@ def _q_fingerprints(sf_dir: str):
 
 def _q_minhash_pairs(sf_dir: str):
     import ray.data
+    from kkray.ops import to_pandas_typed
     from kkray.textops import minhash_lsh_pairs
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = minhash_lsh_pairs(docs, num_perm=64, bands=16, shingle_n=3, threshold=0.6).to_pandas()
+    out = to_pandas_typed(minhash_lsh_pairs(docs, num_perm=64, bands=16, shingle_n=3, threshold=0.6))
     out["jaccard"] = out["jaccard"].round(6)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _q_ngram_jaccard(sf_dir: str):
     import ray.data
+    from kkray.ops import to_pandas_typed
     from kkray.textops import ngram_jaccard_pairs
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.5).to_pandas()
+    out = to_pandas_typed(ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.5))
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -772,12 +774,13 @@ def _q_minhash_recall_vs_exact(sf_dir: str):
     correctness claim is enforced inside the query)."""
     import numpy as np
     import ray.data
+    from kkray.ops import to_pandas_typed
     from kkray.textops import minhash_lsh_pairs, ngram_jaccard_pairs
 
     n, t, num_perm, bands = 3, 0.6, 64, 16
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    exact = ngram_jaccard_pairs(docs, shingle_n=n, threshold=t).to_pandas()
-    lsh = minhash_lsh_pairs(docs, num_perm=num_perm, bands=bands, shingle_n=n, threshold=t).to_pandas()
+    exact = to_pandas_typed(ngram_jaccard_pairs(docs, shingle_n=n, threshold=t))
+    lsh = to_pandas_typed(minhash_lsh_pairs(docs, num_perm=num_perm, bands=bands, shingle_n=n, threshold=t))
     ex = {(int(a), int(b)): float(j) for a, b, j in zip(exact["a"], exact["b"], exact["jaccard"])}
     got = {(int(a), int(b)): float(j) for a, b, j in zip(lsh["a"], lsh["b"], lsh["jaccard"])}
     extra = set(got) - set(ex)
@@ -819,10 +822,11 @@ def _q_top_docs_per_lang(sf_dir: str):
 
 def _q_simhash_pairs(sf_dir: str):
     import ray.data
+    from kkray.ops import to_pandas_typed
     from kkray.textops import simhash_pairs
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_pairs(docs, max_hamming=3).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    return to_pandas_typed(simhash_pairs(docs, max_hamming=3)).sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _q_near_dedup(sf_dir: str):
@@ -1223,8 +1227,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text""",
         "doc_token_counts": r"""
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens_ws
             FROM documents""",
         "doc_char_digit_counts": """
             SELECT doc_id, length(text) AS n_chars,
@@ -1240,8 +1243,7 @@ def oracle_sql() -> dict[str, str]:
             WITH sig AS (
               SELECT doc_id,
                      length(text) AS n_chars,
-                     CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens,
                      length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
                      length(regexp_replace(text, '\s', '', 'g')) AS n_wchars
               FROM documents),
@@ -1260,16 +1262,16 @@ def oracle_sql() -> dict[str, str]:
             FROM r""",
         "top_tokens": r"""
             WITH toks AS (
-              SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-              FROM documents WHERE trim(text) <> ''),
+              SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+              FROM documents),
             c AS (SELECT token, COUNT(*)::BIGINT AS n FROM toks GROUP BY token)
             SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 50""",
         # per-doc tf-idf top-3: identical formula (tf * ln(N/df), float
         # division) and tie-break (score DESC, token ASC) as the engine
         "tfidf_top_terms": r"""
             WITH toks AS (
-              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-              FROM documents WHERE trim(text) <> ''),
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+              FROM documents),
             tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, token),
             dfreq AS (SELECT token, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY token),
             n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
@@ -1292,8 +1294,8 @@ def oracle_sql() -> dict[str, str]:
         # division on both sides, so values hash-match bitwise
         "ngram_jaccard_pairs": """
             WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
-              FROM documents WHERE length(trim(text)) > 0),
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+              FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
             sh AS (
               SELECT doc_id, CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
                 ELSE list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' '))
@@ -1389,8 +1391,7 @@ def oracle_sql() -> dict[str, str]:
             WITH sig AS (
               SELECT doc_id,
                      length(text) AS n_chars,
-                     CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens,
                      length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
                      length(regexp_replace(text, '\s', '', 'g')) AS n_wchars
               FROM documents),

@@ -48,6 +48,18 @@ def collect_arrow(ds: ray.data.Dataset, empty_schema: pa.Schema | None = None) -
     return pa.schema([]).empty_table()
 
 
+def to_pandas_typed(ds: ray.data.Dataset) -> pd.DataFrame:
+    """``ds.to_pandas()``, but an all-empty result keeps the dataset's
+    schema. Ray 2.49's ``to_pandas`` returns a column-less frame when no
+    non-degenerate block survives (e.g. a pair operator on an empty
+    corpus), even though ``ds.schema()`` knows the unified columns —
+    rebuild the typed empty frame from that schema instead."""
+    df = ds.to_pandas()
+    if len(df) == 0 and len(df.columns) == 0:
+        return collect_arrow(ds).to_pandas()
+    return df
+
+
 def pa_from_pandas(df: pd.DataFrame) -> pa.Table:
     """pandas -> arrow WITHOUT the b'pandas' schema metadata: pyarrow
     schemas carrying that metadata are unhashable (hash(schema) raises

@@ -21,6 +21,7 @@ Shapes (all Ray-Data-first):
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -85,8 +86,14 @@ def _union_typed_empty(ds: ray.data.Dataset, **cols) -> ray.data.Dataset:
     return ds.union(ray.data.from_pandas(empty))
 
 
+# ASCII token rule shared with quality.py's _TOK_RE and the SQL oracles'
+# RE2 \S+ (RE2 \s == [\t\n\f\r ]; python str.split()'s Unicode whitespace
+# would diverge on \v / NBSP / unicode spaces)
+_TOK_RE = re.compile(r"[^\t\n\f\r ]+")
+
+
 def _shingles(text: str, n: int) -> set:
-    toks = text.split()
+    toks = _TOK_RE.findall(text)
     if len(toks) < n:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
@@ -101,7 +108,7 @@ def _shingle_token_hashes(texts: pd.Series, n: int):
     empty input returns None."""
     from ..utils import splitmix64 as _mix
 
-    split = texts.str.split()
+    split = texts.str.findall(_TOK_RE)
     n_words = split.str.len().to_numpy().astype(np.int64)
     ex = split.explode().dropna()
     if not len(ex):
@@ -111,16 +118,20 @@ def _shingle_token_hashes(texts: pd.Series, n: int):
     with np.errstate(over="ignore"):
         sh = tok_h.copy()
         for k in range(1, n):
+            # clamp: a batch with fewer than k tokens TOTAL would make
+            # len - k negative and the slice wrap (shape mismatch crash)
+            m = max(len(tok_h) - k, 0)
             shifted = np.empty_like(tok_h)
-            shifted[: len(tok_h) - k] = tok_h[k:]
-            shifted[len(tok_h) - k :] = 0
+            shifted[:m] = tok_h[k:]
+            shifted[m:] = 0
             sh = _mix(sh ^ (shifted + np.uint64(0x9E3779B97F4A7C15)))
     # shingle i is valid if tokens i..i+n-1 are in the SAME doc; docs
     # shorter than n keep their single all-token shingle
     last_ok = np.empty(len(tok_h), dtype=bool)
     if n > 1:
-        last_ok[: len(tok_h) - (n - 1)] = doc_of[: len(tok_h) - (n - 1)] == doc_of[n - 1 :]
-        last_ok[len(tok_h) - (n - 1) :] = False
+        m = max(len(tok_h) - (n - 1), 0)
+        last_ok[:m] = doc_of[:m] == doc_of[n - 1 :]
+        last_ok[m:] = False
     else:
         last_ok[:] = True
     starts_all = np.concatenate(([0], np.cumsum(n_words)))
@@ -543,7 +554,7 @@ class SimHasher:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         texts = df["text"].fillna("").reset_index(drop=True)
         n_docs = len(texts)
-        split = texts.str.split()
+        split = texts.str.findall(_TOK_RE)
         ex = split.explode().dropna()
         sigs = np.zeros(n_docs, dtype=np.uint64)
         if len(ex):

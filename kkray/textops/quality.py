@@ -39,8 +39,11 @@ _TOK_RE = re.compile(r"[^\t\n\f\r ]+")
 
 def _exploded_tokens(texts: pd.Series) -> tuple[pd.Series, np.ndarray]:
     """One C-level explode of whitespace tokens shared by the stats below:
-    returns (token Series indexed by doc position, n_words per doc)."""
-    split = texts.reset_index(drop=True).str.split()
+    returns (token Series indexed by doc position, n_words per doc).
+    Tokenizes with the ASCII _TOK_RE (RE2 \\S+ parity) — NOT python
+    str.split(), whose Unicode whitespace rule diverges from the SQL
+    oracles on \\v / NBSP / unicode spaces."""
+    split = texts.reset_index(drop=True).str.findall(_TOK_RE)
     n_words = split.str.len().to_numpy()
     ex = split.explode().dropna()
     return ex, n_words
@@ -209,7 +212,9 @@ class Fingerprint:
         # ONE flat byte array for the batch, per-doc polynomial sums as
         # uint64 segment reductions (mod-2^64 wrap is the hash arithmetic)
         # — no per-document numpy round-trips
-        texts = df["text"].fillna("").str.split().str.join(" ")
+        # ASCII-tokenized canonical form (same _TOK_RE rule as every other
+        # text operator — unicode whitespace is token content, not a gap)
+        texts = df["text"].fillna("").str.findall(_TOK_RE).str.join(" ")
         enc = texts.str.encode("utf-8")
         lens = enc.str.len().to_numpy().astype(np.int64)
         flat = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8).astype(np.uint64)
@@ -326,8 +331,13 @@ def top_tokens(docs, k: int = 50):
     counted = docs.map_batches(explode_count, batch_format="pandas").groupby("token").sum("n")
 
     def topk_local(df: pd.DataFrame) -> pd.DataFrame:
+        if "sum(n)" not in df.columns:  # zero-token corpus: the groupby on
+            # an all-empty dataset emits degenerate schema-less blocks
+            return pd.DataFrame({"token": pd.Series(dtype=str), "sum(n)": pd.Series(dtype=np.int64)})
         return df.sort_values(["sum(n)", "token"], ascending=[False, True]).head(k)
 
     cands = counted.map_batches(topk_local, batch_format="pandas").to_pandas()
+    if "sum(n)" not in cands.columns:
+        cands = pd.DataFrame({"token": pd.Series(dtype=str), "sum(n)": pd.Series(dtype=np.int64)})
     out = cands.sort_values(["sum(n)", "token"], ascending=[False, True]).head(k)
     return out.rename(columns={"sum(n)": "n"}).reset_index(drop=True)[["token", "n"]]

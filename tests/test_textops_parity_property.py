@@ -1,0 +1,85 @@
+"""Property-based engine-vs-DuckDB parity fuzz for the text operators.
+
+The contract oracles only ever see the synthetic corpus (plain words +
+single spaces); this suite drives the SAME oracle SQL strings from
+__ray_entry__.oracle_sql() against hostile documents — leading/trailing
+tabs and newlines, vertical tabs (token content under RE2's ASCII \\s),
+NBSP and unicode digits (NOT whitespace/digits under the shared ASCII
+rule), empty and whitespace-only docs — and requires the engine kernels
+to match row-for-row. This is what pins the documented ASCII tokenizer
+parity to actual inputs rather than to the fixture's character set."""
+import pathlib
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import __ray_entry__ as _entry
+
+from kkray.ops import to_pandas_typed
+from kkray.textops import QualityFilter, TokenCount, ngram_jaccard_pairs, top_tokens
+
+_SQLS = _entry.oracle_sql()
+
+# hostile alphabet: ASCII words/space + tab/newline (RE2 \s) + vertical
+# tab (NOT RE2 \s) + NBSP + arabic digit + accented latin + ascii digit
+_ALPHABET = list("ab .\t\n") + ["\x0b", " ", "٣", "É", "1"]
+
+
+def _docs_strategy():
+    return st.lists(
+        st.text(alphabet=st.sampled_from(_ALPHABET), min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+
+
+def _con_with(df: pd.DataFrame) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.register("documents", df)
+    return con
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_docs_strategy())
+def test_token_counts_and_quality_filter_parity(ray_session, texts):
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    con = _con_with(df)
+
+    got = TokenCount()(df.copy()).sort_values("doc_id").reset_index(drop=True)
+    exp = con.execute(_SQLS["doc_token_counts"]).df().sort_values("doc_id").reset_index(drop=True)
+    assert got["n_tokens_ws"].astype("int64").tolist() == exp["n_tokens_ws"].astype("int64").tolist(), texts
+
+    gotq = QualityFilter()(df.copy()).sort_values("doc_id").reset_index(drop=True)
+    expq = con.execute(_SQLS["doc_quality_filter"]).df().sort_values("doc_id").reset_index(drop=True)
+    for col in ["n_chars", "n_tokens", "keep"]:
+        assert gotq[col].astype("int64").tolist() == expq[col].astype("int64").tolist(), (col, texts)
+    for col in ["digit_ratio", "mean_wl"]:
+        assert np.allclose(gotq[col].to_numpy(), expq[col].to_numpy(), atol=0), (col, texts)
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=_docs_strategy())
+def test_top_tokens_and_ngram_jaccard_parity(ray_session, texts):
+    texts = texts + [texts[0]]  # a guaranteed duplicate so pair ops fire
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    con = _con_with(df)
+    ds = ray.data.from_pandas(df)
+
+    got = top_tokens(ds, k=50).reset_index(drop=True)
+    exp = con.execute(_SQLS["top_tokens"]).df().reset_index(drop=True)
+    assert got["token"].tolist() == exp["token"].tolist(), texts
+    assert got["n"].astype("int64").tolist() == exp["n"].astype("int64").tolist(), texts
+
+    gotp = (
+        to_pandas_typed(ngram_jaccard_pairs(ds, shingle_n=5, threshold=0.5))
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    expp = con.execute(_SQLS["ngram_jaccard_pairs"]).df().sort_values(["a", "b"]).reset_index(drop=True)
+    assert gotp[["a", "b"]].astype("int64").values.tolist() == expp[["a", "b"]].astype("int64").values.tolist(), texts
+    assert np.allclose(gotp["jaccard"].to_numpy(), expp["jaccard"].to_numpy(), atol=0), texts
