@@ -210,6 +210,16 @@ def run_benchmarks() -> dict:
             extras["node2vec_sharded_synth_walked_edges_per_sec"] = round(
                 gb_steps() / queries["node2vec_sharded_synth"], 0
             )
+            # CC + LP at amortizing scale (the sf0.1 legs run on a 2.4M-edge
+            # graph): min-label flood with the delta frontier, and 3 sparse
+            # (dst,label,count)-combined LP supersteps over the 64M edges
+            from kkray.analytics import label_propagation
+
+            timed_best("cc_synth", lambda: connected_components(gb), reps=2)
+            timed_best("lp_synth", lambda: label_propagation(gb, iters=3), reps=2)
+            extras["lp_synth_edges_per_sec_per_superstep"] = round(
+                E2 / (queries["lp_synth"] / 3), 0
+            )
     extras["pagerank_synth_edges_per_sec_per_superstep"] = round(E2 / (queries["pagerank_synth"] / 10), 0)
     extras["pagerank_w_synth_edges_per_sec_per_superstep"] = round(E2 / (queries["pagerank_w_synth"] / 10), 0)
     with WalkerPool.from_arrays(
