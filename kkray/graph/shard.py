@@ -23,6 +23,7 @@ import ray
 from .shard_walk import WalkMixin
 from .csr import CSRShard, build_csr
 from .partition import part_of
+from ..utils import sort2
 
 
 class ShardCore(WalkMixin):
@@ -529,7 +530,7 @@ class ShardCore(WalkMixin):
             if len(d) == 0:
                 out.append((d, l, np.empty(0, dtype=np.int64)))
                 continue
-            o = np.lexsort((l, d))
+            o = sort2(d, l)  # composite-key radix: the per-superstep sort
             d, l = d[o], l[o]
             new_seg = np.concatenate([[True], (np.diff(d) != 0) | (np.diff(l) != 0)])
             starts = np.flatnonzero(new_seg)
@@ -549,7 +550,7 @@ class ShardCore(WalkMixin):
             return 0
         ls = np.concatenate([p[1] for p in partials])
         cs = np.concatenate([p[2] for p in partials])
-        o = np.lexsort((ls, ds))
+        o = sort2(ds, ls)
         ds, ls, cs = ds[o], ls[o], cs[o]
         new_seg = np.concatenate([[True], (np.diff(ds) != 0) | (np.diff(ls) != 0)])
         starts = np.flatnonzero(new_seg)

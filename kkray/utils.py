@@ -23,6 +23,23 @@ def rng_for(seed: int, *counters: int) -> np.random.Generator:
     return np.random.Generator(np.random.Philox(key=np.uint64(seed), counter=list(counters) + [0] * (4 - len(counters))))
 
 
+def sort2(primary: np.ndarray, secondary: np.ndarray) -> np.ndarray:
+    """argsort by (primary asc, secondary asc) — ONE composite-uint64-key
+    radix argsort when both columns fit 32 bits (~4-5x faster than
+    np.lexsort on multi-million-row arrays; the CSR build's fast path
+    generalized), np.lexsort fallback otherwise. Non-negative ints only."""
+    if (
+        len(primary)
+        and int(primary.max(initial=0)) < (1 << 31)
+        and int(secondary.max(initial=0)) < (1 << 31)
+        and int(primary.min(initial=0)) >= 0
+        and int(secondary.min(initial=0)) >= 0
+    ):
+        key = (primary.astype(np.uint64) << np.uint64(32)) | secondary.astype(np.uint64)
+        return np.argsort(key, kind="stable")
+    return np.lexsort((secondary, primary))
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer — stable 64-bit mixing for
     hash-partitioning and salting (pure numpy, overflow-wrapping)."""

@@ -19,7 +19,7 @@ import ray
 import ray.data
 
 from ..graph.partition import part_of
-from ..utils import rng_for
+from ..utils import rng_for, sort2
 from .spec import Node2vecSpec, TransitionSpec, WalkerSpec
 
 MAX_SUPERSTEPS = 100_000
@@ -382,7 +382,7 @@ def _assemble_block(t: pa.Table) -> pa.Table:
         )
     s = t.column("step").to_numpy(zero_copy_only=False)
     v = t.column("vertex").to_numpy(zero_copy_only=False)
-    order = np.lexsort((s, w))
+    order = sort2(w, s)  # composite-key radix argsort (walker, step)
     w, v = w[order], np.ascontiguousarray(v[order], dtype=np.int64)
     starts = np.flatnonzero(np.diff(w) != 0) + 1
     offsets = np.concatenate(([0], starts, [len(w)])).astype(np.int32)

@@ -33,3 +33,23 @@ def test_degree_aware_boundaries_invariants(v, parts, hub, dseed):
         w = int(work[b[p] : b[p + 1]].sum())
         # a cut can overshoot its target by at most the item it landed on
         assert w <= share + max_item + 1, (p, w, share, max_item)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=3000),
+    hi=st.sampled_from([10, 1000, 1 << 20, 1 << 33]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_sort2_equals_lexsort(n, hi, seed):
+    """sort2's composite-key fast path (and its >=2^31 lexsort fallback)
+    must order identically to np.lexsort((secondary, primary))."""
+    from kkray.utils import sort2
+
+    rng = np.random.Generator(np.random.Philox(seed))
+    p = rng.integers(0, hi, n)
+    s = rng.integers(0, hi, n)
+    got = sort2(p, s)
+    exp = np.lexsort((s, p))
+    # orders may differ on fully-equal key pairs only; compare the keys
+    assert np.array_equal(p[got], p[exp]) and np.array_equal(s[got], s[exp])
