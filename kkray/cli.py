@@ -157,7 +157,9 @@ def main(argv=None):
         from .io.extract import ExtractText
 
         pages = ray.data.read_parquet(args.pages)
-        pages.map_batches(ExtractText, batch_format="pyarrow", concurrency=4).write_parquet(f"{args.out}/text")
+        # adaptive pool: a FIXED concurrency=4 can starve a small cluster
+        # (4 actors pin every CPU and the downstream write never schedules)
+        pages.map_batches(ExtractText, batch_format="pyarrow", concurrency=(1, 4)).write_parquet(f"{args.out}/text")
         edges, url_map = build_edge_table(ray.data.read_parquet(args.pages))
         edges.write_parquet(f"{args.out}/edges")
         url_map.write_parquet(f"{args.out}/url_map")
