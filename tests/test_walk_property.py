@@ -141,3 +141,42 @@ def test_metapath_walk_invariants(ray_session, v, e, parts, ntypes, schemes, gse
             pos = (len(path) - 1) % len(sch)
             assert not (vmask[path[-1]] & sch[pos]), (wid, path[-1], sch[pos])
         assert np.array_equal(path, p2[wid])
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    v=st.integers(min_value=5, max_value=40),
+    e=st.integers(min_value=10, max_value=250),
+    workers=st.integers(min_value=1, max_value=4),
+    p=st.sampled_from([0.25, 1.0, 4.0]),
+    q=st.sampled_from([0.25, 1.0, 4.0]),
+    gseed=st.integers(min_value=0, max_value=10_000),
+    wseed=st.integers(min_value=0, max_value=10_000),
+)
+def test_walker_pool_invariants(ray_session, v, e, workers, p, q, gseed, wseed):
+    """Same invariants on the replicated WalkerPool path (zero-exchange
+    walks over one plasma-shared CSR): equal-dist starts, real edges,
+    sink-only truncation, seed determinism — for deepwalk AND node2vec."""
+    from kkray.graph import WalkerPool
+
+    src, dst = random_edges(v, e, seed=gseed, undirected=False)
+    if len(src) == 0:
+        return
+    edge_set = set(zip(src.tolist(), dst.tolist()))
+    outdeg = np.bincount(src, minlength=v)
+    length = 6
+    walkers = 24
+    with WalkerPool.from_arrays(src, dst, num_workers=workers, v_num=v) as wp:
+        d1 = paths_to_numpy(deepwalk(wp, walker_num=walkers, length=length, seed=wseed))
+        n1 = paths_to_numpy(node2vec(wp, walker_num=walkers, p=p, q=q, length=length, seed=wseed))
+        n2 = paths_to_numpy(node2vec(wp, walker_num=walkers, p=p, q=q, length=length, seed=wseed))
+    for paths in (d1, n1):
+        assert set(paths) == set(range(walkers))
+        for wid, path in paths.items():
+            assert path[0] == wid % v
+            for a, b in zip(path[:-1], path[1:]):
+                assert (int(a), int(b)) in edge_set, (wid, a, b)
+            if len(path) < length + 1:
+                assert outdeg[path[-1]] == 0, (wid, path[-1])
+    for wid in n1:
+        assert np.array_equal(n1[wid], n2[wid])
