@@ -54,6 +54,13 @@ def test_token_counts_and_quality_filter_parity(ray_session, texts):
     exp = con.execute(_SQLS["doc_token_counts"]).df().sort_values("doc_id").reset_index(drop=True)
     assert got["n_tokens_ws"].astype("int64").tolist() == exp["n_tokens_ws"].astype("int64").tolist(), texts
 
+    # cross-operator consistency: QualityStats' token explode must agree
+    # with TokenCount's regex count (both use the shared ASCII _TOK_RE)
+    from kkray.textops import QualityStats
+
+    gots = QualityStats()(df.copy()).sort_values("doc_id").reset_index(drop=True)
+    assert gots["n_words"].astype("int64").tolist() == got["n_tokens_ws"].astype("int64").tolist(), texts
+
     gotq = QualityFilter()(df.copy()).sort_values("doc_id").reset_index(drop=True)
     expq = con.execute(_SQLS["doc_quality_filter"]).df().sort_values("doc_id").reset_index(drop=True)
     for col in ["n_chars", "n_tokens", "keep"]:
