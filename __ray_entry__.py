@@ -20,6 +20,7 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 # ---------------------------------------------------------------- helpers
 
@@ -961,6 +962,77 @@ def _q_tfidf_top_terms(sf_dir: str):
     )
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style intra-doc repetition signals over whitespace bigrams
+    (dup-bigram fraction + top-bigram fraction; boilerplate/spam rule).
+    One map_batches pass; identical bigram strings, integer counts, and
+    round-6 fractions in the SQL."""
+    import ray.data
+    from kkray.textops import RepetitionStats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(RepetitionStats, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    return out.astype(
+        {"doc_id": "int64", "n_bigrams": "int64", "n_dup_bigrams": "int64", "top_bigram_n": "int64"}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+DECON_SHINGLE_N = 5
+DECON_BENCH_MOD = 17
+
+
+def _q_decontaminate(sf_dir: str):
+    """Test-set decontamination: docs sharing >=1 distinct 5-token shingle
+    with the benchmark subset (doc_id % 17 == 0), with the shared-shingle
+    count. String-shingle mode (SQL-parity); the hashed mode (8-byte join
+    keys, the 100-TB path) is pytest-verified equal on the same corpus."""
+    import ray.data
+    from kkray.textops import decontaminate
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    # Ray 2.49's filter(expr=...) parser has no % operator; one vectorized
+    # Arrow mask per side instead (same pushed-down scan, zero-copy batches)
+    def _mod_filter(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % DECON_BENCH_MOD == 0) == keep_bench
+            return t.filter(pa.array(mask))
+
+        return f
+
+    train = docs.map_batches(_mod_filter(False), batch_format="pyarrow")
+    bench = docs.map_batches(_mod_filter(True), batch_format="pyarrow")
+    out = decontaminate(train, bench, shingle_n=DECON_SHINGLE_N).to_pandas()
+    if "doc_id" not in out.columns:  # empty-overlap corpus keeps the schema
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "n_shared": pd.Series(dtype="int64")})
+    return (
+        out[["doc_id", "n_shared"]].astype("int64").sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_latest_event_per_user(sf_dir: str):
+    """Keep-latest-per-key (CDC/dedup-by-recency shape): each user's most
+    recent event, ties by max event_id. Rides grouped_top_k (per-batch
+    head-1 combiner; the shuffle carries <=1 row per user per batch)."""
+    import ray.data
+    from kkray.ops import grouped_top_k
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+    out = grouped_top_k(
+        ev, ["user_id"], ["ts", "event_id"], k=1, descending=[True, True]
+    ).to_pandas()
+    out["ts"] = pd.to_datetime(out["ts"])
+    return (
+        out[["user_id", "event_id", "ts", "event_type"]]
+        .astype({"user_id": "int64", "event_id": "int64"})
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_curated_corpus(sf_dir: str):
     """Composed pipeline: quality pre-filter -> exact text dedup (min
     doc_id wins) -> stratified k-per-lang sample; oracle composes the
@@ -1161,6 +1233,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": _q_quality_filter,
         "top_tokens": _q_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "doc_repetition_stats": _q_repetition_stats,
+        "decontaminate_overlap": _q_decontaminate,
+        "latest_event_per_user": _q_latest_event_per_user,
         "lang_counts": _q_lang_counts,
         "source_stats": _q_source_stats,
         "langid_pred": _q_langid,
@@ -1284,6 +1359,47 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY score DESC, token ASC) AS rn
               FROM scored)
             WHERE rn <= 3 ORDER BY doc_id, token""",
+        # Gopher-style bigram repetition signals: identical literal bigram
+        # strings (tok[i] || ' ' || tok[i+1]), integer counts, round-6
+        # fractions with the same greatest(.,1) denominators as the engine
+        "doc_repetition_stats": r"""
+            WITH base AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+            bi AS (
+              SELECT doc_id, tk[g] || ' ' || tk[g+1] AS bigram
+              FROM base, unnest(generate_series(1, len(tk)-1)) t(g)),
+            agg AS (
+              SELECT doc_id, max(c)::BIGINT AS top_bigram_n,
+                     (sum(c) - count(*))::BIGINT AS n_dup_bigrams
+              FROM (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram)
+              GROUP BY doc_id)
+            SELECT b.doc_id,
+                   greatest(len(tk)-1, 0)::BIGINT AS n_bigrams,
+                   coalesce(n_dup_bigrams, 0)::BIGINT AS n_dup_bigrams,
+                   round(coalesce(n_dup_bigrams, 0) / greatest(len(tk)-1, 1), 6) AS dup_bigram_frac,
+                   coalesce(top_bigram_n, 0)::BIGINT AS top_bigram_n,
+                   round(coalesce(top_bigram_n, 0) / greatest(len(tk)-1, 1), 6) AS top_bigram_frac
+            FROM base b LEFT JOIN agg USING (doc_id)
+            ORDER BY doc_id""",
+        # decontamination: distinct 5-token shingles shared with the
+        # doc_id%17==0 benchmark subset; strictly-windowed shingling (docs
+        # with <5 tokens contribute none) matches the engine's rule
+        "decontaminate_overlap": r"""
+            WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(tk[g:g+4], ' ') AS shingle
+              FROM toks, unnest(generate_series(1, len(tk)-4)) t(g)),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+            train AS (SELECT * FROM sh WHERE doc_id % 17 <> 0)
+            SELECT train.doc_id, count(*)::BIGINT AS n_shared
+            FROM train JOIN bench USING (shingle)
+            GROUP BY train.doc_id ORDER BY doc_id""",
+        "latest_event_per_user": """
+            SELECT user_id, event_id, ts, event_type FROM (
+              SELECT user_id, event_id, ts, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1 ORDER BY user_id""",
         "embedding_near_dup_pairs": """
             SELECT e1.vec_id::BIGINT AS a, e2.vec_id::BIGINT AS b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id

@@ -721,3 +721,123 @@ def embedding_near_dup(
         return pd.DataFrame({"a": ia[ii], "b": ib[jj], "cosine": sims[ii, jj]})
 
     return exploded.groupby(["bucket", "blo", "bhi"]).map_groups(in_task, batch_format="pandas")
+
+
+def decontaminate(
+    train: ray.data.Dataset,
+    bench: ray.data.Dataset,
+    shingle_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
+    join_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Test-set decontamination: for every training document, count the
+    distinct ``shingle_n``-token shingles it shares with ANY benchmark
+    document (the pre-training hygiene pass that drops/flags documents
+    overlapping an eval set). Returns ``(id_col, n_shared)`` for training
+    docs with >= 1 shared shingle.
+
+    100 TB shape: distinct ``(doc, shingle)`` pairs come out of ONE
+    vectorized per-batch explode (each doc is a single row, so the
+    per-batch drop_duplicates is a complete dedup, not a partial); the
+    overlap is a hash-bucketed semi-join — both sides are tagged and
+    co-partitioned by ``hash(shingle) % nb`` in ONE groupby (the
+    benchmark set is NOT broadcast — eval suites grow), each bucket
+    resolved by a vectorized pandas ``isin`` kernel — then one small
+    groupby(doc).count over the matched pairs only. (Ray 2.49's
+    ``Dataset.join`` is avoided here: a hash partition that receives
+    zero rows on either side crashes its acero finalize, which a
+    degenerate corpus — every doc shorter than ``shingle_n`` — hits.)
+
+    ``hashed=False`` joins on the literal space-joined token strings —
+    the SQL-oracle-parity mode. ``hashed=True`` is the scale path: the
+    join key becomes the shingle hash from the shared
+    ``_shingle_token_hashes`` kernel masked to 63 bits (8-byte int64
+    shuffle keys instead of raw n-grams; identical counts modulo ~2^-63
+    collisions). int64, not uint64: Ray's hash aggregate round-trips
+    group keys through Python ints and rebuilds the block as int64, so
+    uint64 keys above 2^63 overflow inside the groupby.
+
+    Docs shorter than ``shingle_n`` tokens contribute NO shingles in both
+    modes (matching the oracle's windowing; deliberately unlike MinHash's
+    short-doc single-shingle rule, which exists for signature coverage)."""
+    if join_partitions is None:
+        # same sizing rule as tfidf_top_terms: the join operator pins one
+        # shuffle actor per partition; over-partitioning a small cluster
+        # stalls the pipeline
+        join_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    n = shingle_n
+    empty_key = (
+        {"shingle": pa.array([], pa.int64())} if hashed else {"shingle": pa.array([], pa.string())}
+    )
+
+    def pairs_fn(df: pd.DataFrame) -> pa.Table:
+        ids = df[id_col].to_numpy()
+        texts = df[text_col].fillna("").reset_index(drop=True)
+        empty = pa.table({id_col: pa.array([], pa.from_numpy_dtype(ids.dtype)), **empty_key})
+        if hashed:
+            r = _shingle_token_hashes(texts, n)
+            if r is None:
+                return empty
+            sh, doc_of, last_ok, n_words = r
+            # exclude the short-doc single-shingle rule: strictly windowed
+            valid = last_ok & (n_words[doc_of] >= n)
+            key = (sh[valid] & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+            d = pd.DataFrame({id_col: ids[doc_of[valid]], "shingle": key})
+        else:
+            ex = texts.str.findall(_TOK_RE).explode().dropna()
+            if not len(ex):
+                return empty
+            pos = ex.index.to_numpy().astype(np.int64)
+            toks = ex.reset_index(drop=True)
+            sh = toks
+            for j in range(1, n):
+                sh = sh + " " + toks.shift(-j)
+            valid = np.zeros(len(pos), dtype=bool)
+            if len(pos) >= n:
+                m = len(pos) - (n - 1)
+                valid[:m] = pos[:m] == pos[n - 1 :]  # whole window in-doc
+            if not valid.any():
+                return empty
+            d = pd.DataFrame({id_col: ids[pos[valid]], "shingle": sh.to_numpy()[valid]})
+        d = d.drop_duplicates()
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    nb = join_partitions
+
+    def tag_fn(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            d = pairs_fn(df).to_pandas()
+            if side == 1:
+                # partial (per-batch) distinct is enough for a semi-join;
+                # bench docs are single rows so this is usually complete
+                d = d.drop_duplicates(subset=["shingle"])
+                d[id_col] = np.int64(-1)
+            sh = d["shingle"].to_numpy()
+            h = sh.astype(np.uint64) if hashed else pd.util.hash_array(sh)
+            d["bucket"] = (h % np.uint64(nb)).astype(np.int64)
+            d["side"] = np.int8(side)
+            return d
+
+        return f
+
+    tagged = train.map_batches(tag_fn(0), batch_format="pandas").union(
+        bench.map_batches(tag_fn(1), batch_format="pandas")
+    )
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        b = df.loc[df["side"] == 1, "shingle"]
+        hit = df.loc[(df["side"] == 0) & df["shingle"].isin(b), [id_col]]
+        return hit
+
+    matched = _union_typed_empty(
+        tagged.groupby("bucket").map_groups(kern, batch_format="pandas"), **{id_col: "int64"}
+    )
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"count()": "n_shared"})
+
+    out = matched.groupby(id_col).count().map_batches(rename, batch_format="pandas")
+    return _union_typed_empty(out, **{id_col: "int64", "n_shared": "int64"})

@@ -233,6 +233,60 @@ class Fingerprint:
         return df
 
 
+class RepetitionStats:
+    """documents(text) -> Gopher-style intra-document repetition signals
+    over whitespace bigrams (training-corpus quality rule: repeated n-gram
+    content marks boilerplate/spam): per doc,
+
+      n_bigrams       = max(n_tokens - 1, 0)
+      n_dup_bigrams   = n_bigrams - count(distinct bigrams)
+      dup_bigram_frac = n_dup_bigrams / max(n_bigrams, 1)   (round 6)
+      top_bigram_n    = occurrences of the most frequent bigram
+      top_bigram_frac = top_bigram_n / max(n_bigrams, 1)    (round 6)
+
+    One map_batches pass, no shuffle. Tokenization is the shared ASCII
+    ``_TOK_RE`` rule (RE2 ``\\S+`` parity); bigrams are the literal
+    ``tok[i] + ' ' + tok[i+1]`` strings, so the whole operator is
+    DuckDB-oracle-checkable. Vectorized: one token explode, shifted-Series
+    concat masked at doc boundaries, one pandas groupby — no per-doc loop."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        ex, n_words = _exploded_tokens(texts)
+        n_bigrams = np.maximum(n_words - 1, 0).astype(np.int64)
+        n_dup = np.zeros(len(texts), dtype=np.int64)
+        top_n = np.zeros(len(texts), dtype=np.int64)
+        if len(ex):
+            pos = ex.index.to_numpy().astype(np.int64)
+            toks = ex.reset_index(drop=True)
+            big = (toks + " " + toks.shift(-1)).to_numpy()
+            valid = np.zeros(len(pos), dtype=bool)
+            if len(pos) >= 2:
+                valid[:-1] = pos[:-1] == pos[1:]  # bigram must stay in-doc
+            if valid.any():
+                counts = (
+                    pd.DataFrame({"d": pos[valid], "g": big[valid]})
+                    .groupby(["d", "g"], sort=False)
+                    .size()
+                )
+                per_doc = counts.groupby(level=0)
+                tot, dis, mx = per_doc.sum(), per_doc.size(), per_doc.max()
+                idx = tot.index.to_numpy().astype(np.int64)
+                n_dup[idx] = (tot - dis).to_numpy().astype(np.int64)
+                top_n[idx] = mx.to_numpy().astype(np.int64)
+        denom = np.maximum(n_bigrams, 1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_bigrams": n_bigrams,
+                "n_dup_bigrams": n_dup,
+                "dup_bigram_frac": np.round(n_dup / denom, 6),
+                "top_bigram_n": top_n,
+                "top_bigram_frac": np.round(top_n / denom, 6),
+            }
+        )
+
+
 def tfidf_top_terms(
     docs: "ray.data.Dataset",
     k: int = 3,

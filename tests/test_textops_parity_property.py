@@ -21,7 +21,14 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import __ray_entry__ as _entry
 
 from kkray.ops import to_pandas_typed
-from kkray.textops import QualityFilter, TokenCount, ngram_jaccard_pairs, top_tokens
+from kkray.textops import (
+    QualityFilter,
+    RepetitionStats,
+    TokenCount,
+    decontaminate,
+    ngram_jaccard_pairs,
+    top_tokens,
+)
 
 _SQLS = _entry.oracle_sql()
 
@@ -90,3 +97,53 @@ def test_top_tokens_and_ngram_jaccard_parity(ray_session, texts):
     expp = con.execute(_SQLS["ngram_jaccard_pairs"]).df().sort_values(["a", "b"]).reset_index(drop=True)
     assert gotp[["a", "b"]].astype("int64").values.tolist() == expp[["a", "b"]].astype("int64").values.tolist(), texts
     assert np.allclose(gotp["jaccard"].to_numpy(), expp["jaccard"].to_numpy(), atol=0), texts
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_docs_strategy())
+def test_repetition_stats_parity(ray_session, texts):
+    # a guaranteed self-repetitive doc so the dup/top paths always fire
+    texts = texts + ["a b a b a b", (texts[0] + " ") * 3]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    con = _con_with(df)
+
+    got = RepetitionStats()(df.copy()).sort_values("doc_id").reset_index(drop=True)
+    exp = con.execute(_SQLS["doc_repetition_stats"]).df().sort_values("doc_id").reset_index(drop=True)
+    for col in ["n_bigrams", "n_dup_bigrams", "top_bigram_n"]:
+        assert got[col].astype("int64").tolist() == exp[col].astype("int64").tolist(), (col, texts)
+    for col in ["dup_bigram_frac", "top_bigram_frac"]:
+        assert np.allclose(got[col].to_numpy(), exp[col].to_numpy(), atol=0), (col, texts)
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=_docs_strategy())
+def test_decontaminate_parity_and_hashed_mode(ray_session, texts):
+    # guarantee >=5-token docs sharing shingles across the mod split: doc 0
+    # (bench under %17) gets a long text echoed into two train docs
+    long = "w0 w1 w2 w3 w4 w5 w6"
+    texts = [long + " " + (texts[0] or "t")] + texts + [long, "x " + long]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    con = _con_with(df)
+
+    train_df = df[df.doc_id % 17 != 0]
+    bench_df = df[df.doc_id % 17 == 0]
+    train = ray.data.from_pandas(train_df.reset_index(drop=True))
+    bench = ray.data.from_pandas(bench_df.reset_index(drop=True))
+
+    got = (
+        to_pandas_typed(decontaminate(train, bench, shingle_n=5))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = con.execute(_SQLS["decontaminate_overlap"]).df().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].astype("int64").tolist() == exp["doc_id"].astype("int64").tolist(), texts
+    assert got["n_shared"].astype("int64").tolist() == exp["n_shared"].astype("int64").tolist(), texts
+
+    # the hashed (8-byte join key) scale mode must count identically
+    goth = (
+        to_pandas_typed(decontaminate(train, bench, shingle_n=5, hashed=True))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert goth["doc_id"].astype("int64").tolist() == got["doc_id"].astype("int64").tolist(), texts
+    assert goth["n_shared"].astype("int64").tolist() == got["n_shared"].astype("int64").tolist(), texts
