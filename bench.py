@@ -19,6 +19,8 @@ Headline set (matches BASELINE.json metric):
   ingest        synthetic Common-Crawl pages -> text + deduped edge table
   dedup_minhash MinHash-LSH near-dup pairs over documents
   knn           brute-force cosine top-10 over embeddings
+  repetition    Gopher-style dup/top-bigram fractions per document
+  decontaminate shared-shingle overlap vs a benchmark subset (hashed keys)
 """
 from __future__ import annotations
 
@@ -381,6 +383,35 @@ def run_benchmarks() -> dict:
 
         ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "event_id"])
         extras["sessions"] = sessionize(ev, gap="30min").count()
+
+    with timed("repetition"):
+        from kkray.textops import RepetitionStats
+
+        docs_r = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        ).repartition(NUM_CPUS * 2)
+        extras["repetition_docs"] = docs_r.map_batches(
+            RepetitionStats, batch_format="pandas", concurrency=(1, NUM_CPUS)
+        ).count()
+
+    with timed("decontaminate"):
+        from kkray.textops import decontaminate
+
+        docs_d = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        ).repartition(NUM_CPUS * 2)
+
+        def _mod(keep):
+            def f(df):
+                return df[(df.doc_id % 17 == 0) == keep]
+
+            return f
+
+        extras["decontaminated_docs"] = decontaminate(
+            docs_d.map_batches(_mod(False), batch_format="pandas"),
+            docs_d.map_batches(_mod(True), batch_format="pandas"),
+            hashed=True,  # the 8-byte-key scale mode
+        ).count()
 
     ray.shutdown()
     total = round(sum(queries.values()), 3)

@@ -731,6 +731,7 @@ def decontaminate(
     text_col: str = "text",
     hashed: bool = False,
     join_partitions: int | None = None,
+    broadcast_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Test-set decontamination: for every training document, count the
     distinct ``shingle_n``-token shingles it shares with ANY benchmark
@@ -740,15 +741,20 @@ def decontaminate(
 
     100 TB shape: distinct ``(doc, shingle)`` pairs come out of ONE
     vectorized per-batch explode (each doc is a single row, so the
-    per-batch drop_duplicates is a complete dedup, not a partial); the
-    overlap is a hash-bucketed semi-join — both sides are tagged and
-    co-partitioned by ``hash(shingle) % nb`` in ONE groupby (the
-    benchmark set is NOT broadcast — eval suites grow), each bucket
-    resolved by a vectorized pandas ``isin`` kernel — then one small
-    groupby(doc).count over the matched pairs only. (Ray 2.49's
-    ``Dataset.join`` is avoided here: a hash partition that receives
-    zero rows on either side crashes its acero finalize, which a
-    degenerate corpus — every doc shorter than ``shingle_n`` — hits.)
+    per-batch drop_duplicates is a complete dedup, not a partial). The
+    benchmark side is materialized (it is the small side — an eval
+    suite, not the corpus) and, when its distinct shingle count is
+    ≤ ``broadcast_limit`` (default 2M ≈ 16 MB of int64 keys), the
+    key set is ``ray.put`` once and probed per train batch with one
+    sorted ``searchsorted``/``isin`` — the train corpus never
+    shuffles. Above the limit it falls back to a hash-bucketed
+    semi-join: both sides co-partitioned by ``hash(shingle) % nb`` in
+    ONE groupby, each bucket resolved by a vectorized ``isin`` kernel.
+    Either way the final ``groupby(doc).count`` runs over matched
+    pairs only. (Ray 2.49's ``Dataset.join`` is avoided here: a hash
+    partition that receives zero rows on either side crashes its acero
+    finalize, which a degenerate corpus — every doc shorter than
+    ``shingle_n`` — hits.)
 
     ``hashed=False`` joins on the literal space-joined token strings —
     the SQL-oracle-parity mode. ``hashed=True`` is the scale path: the
@@ -807,34 +813,81 @@ def decontaminate(
 
     nb = join_partitions
 
-    def tag_fn(side: int):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
+    # the bench side is the small one by construction; materialize its
+    # distinct (doc, shingle) pairs once so the broadcast-vs-shuffle
+    # decision and the chosen path reuse the same computed blocks
+    bench_pairs = bench.map_batches(pairs_fn, batch_format="pandas").materialize()
+
+    if bench_pairs.count() <= broadcast_limit:
+        # broadcast fast path: dedup bench keys on the driver (bounded by
+        # broadcast_limit rows), ship the sorted key array once, probe
+        # per train batch — the train corpus never shuffles
+        chunks = [
+            b["shingle"].to_numpy()
+            for b in bench_pairs.iter_batches(batch_format="pandas")
+            if len(b)
+        ]
+        if chunks:
+            keys = np.unique(np.concatenate(chunks))
+        else:
+            keys = np.array([], np.int64 if hashed else object)
+        keys_ref = ray.put(keys)
+
+        def probe(df: pd.DataFrame) -> pd.DataFrame:
             d = pairs_fn(df).to_pandas()
-            if side == 1:
-                # partial (per-batch) distinct is enough for a semi-join;
-                # bench docs are single rows so this is usually complete
-                d = d.drop_duplicates(subset=["shingle"])
-                d[id_col] = np.int64(-1)
+            k = ray.get(keys_ref)
+            if not len(d) or not len(k):
+                return pd.DataFrame({id_col: pd.Series(dtype="int64")})
+            sh = d["shingle"].to_numpy()
+            if hashed:
+                pos = np.searchsorted(k, sh)
+                pos[pos == len(k)] = 0
+                hit = k[pos] == sh
+            else:
+                hit = d["shingle"].isin(k).to_numpy()
+            return d.loc[hit, [id_col]]
+
+        matched = _union_typed_empty(
+            train.map_batches(probe, batch_format="pandas"), **{id_col: "int64"}
+        )
+    else:
+        def tag_fn(side: int):
+            def f(df: pd.DataFrame) -> pd.DataFrame:
+                d = pairs_fn(df).to_pandas()
+                if side == 1:
+                    # partial (per-batch) distinct is enough for a semi-join;
+                    # bench docs are single rows so this is usually complete
+                    d = d.drop_duplicates(subset=["shingle"])
+                    d[id_col] = np.int64(-1)
+                sh = d["shingle"].to_numpy()
+                h = sh.astype(np.uint64) if hashed else pd.util.hash_array(sh)
+                d["bucket"] = (h % np.uint64(nb)).astype(np.int64)
+                d["side"] = np.int8(side)
+                return d
+
+            return f
+
+        def retag_bench(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.drop_duplicates(subset=["shingle"]).copy()
+            d[id_col] = np.int64(-1)
             sh = d["shingle"].to_numpy()
             h = sh.astype(np.uint64) if hashed else pd.util.hash_array(sh)
             d["bucket"] = (h % np.uint64(nb)).astype(np.int64)
-            d["side"] = np.int8(side)
+            d["side"] = np.int8(1)
             return d
 
-        return f
+        tagged = train.map_batches(tag_fn(0), batch_format="pandas").union(
+            bench_pairs.map_batches(retag_bench, batch_format="pandas")
+        )
 
-    tagged = train.map_batches(tag_fn(0), batch_format="pandas").union(
-        bench.map_batches(tag_fn(1), batch_format="pandas")
-    )
+        def kern(df: pd.DataFrame) -> pd.DataFrame:
+            b = df.loc[df["side"] == 1, "shingle"]
+            hit = df.loc[(df["side"] == 0) & df["shingle"].isin(b), [id_col]]
+            return hit
 
-    def kern(df: pd.DataFrame) -> pd.DataFrame:
-        b = df.loc[df["side"] == 1, "shingle"]
-        hit = df.loc[(df["side"] == 0) & df["shingle"].isin(b), [id_col]]
-        return hit
-
-    matched = _union_typed_empty(
-        tagged.groupby("bucket").map_groups(kern, batch_format="pandas"), **{id_col: "int64"}
-    )
+        matched = _union_typed_empty(
+            tagged.groupby("bucket").map_groups(kern, batch_format="pandas"), **{id_col: "int64"}
+        )
 
     def rename(df: pd.DataFrame) -> pd.DataFrame:
         return df.rename(columns={"count()": "n_shared"})

@@ -147,3 +147,14 @@ def test_decontaminate_parity_and_hashed_mode(ray_session, texts):
     )
     assert goth["doc_id"].astype("int64").tolist() == got["doc_id"].astype("int64").tolist(), texts
     assert goth["n_shared"].astype("int64").tolist() == got["n_shared"].astype("int64").tolist(), texts
+
+    # forcing the shuffle fallback (broadcast_limit=0) must not change
+    # either mode's counts
+    for hm in (False, True):
+        gotf = (
+            to_pandas_typed(decontaminate(train, bench, shingle_n=5, hashed=hm, broadcast_limit=0))
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert gotf["doc_id"].astype("int64").tolist() == got["doc_id"].astype("int64").tolist(), (hm, texts)
+        assert gotf["n_shared"].astype("int64").tolist() == got["n_shared"].astype("int64").tolist(), (hm, texts)
