@@ -42,8 +42,13 @@ def collect_arrow(ds: ray.data.Dataset, empty_schema: pa.Schema | None = None) -
     if isinstance(base, pa.Schema):
         return base.empty_table()
     if base is not None and hasattr(base, "names") and hasattr(base, "types"):
-        # PandasBlockSchema (pandas-block pipelines): numpy dtypes -> arrow
-        fields = [(n, pa.from_numpy_dtype(np.dtype(t))) for n, t in zip(base.names, base.types)]
+        # PandasBlockSchema (pandas-block pipelines): numpy dtypes -> arrow;
+        # object columns (strings in pandas blocks) have no numpy mapping
+        def _pa_type(t):
+            d = np.dtype(t)
+            return pa.string() if d == np.dtype(object) else pa.from_numpy_dtype(d)
+
+        fields = [(n, _pa_type(t)) for n, t in zip(base.names, base.types)]
         return pa.schema(fields).empty_table()
     return pa.schema([]).empty_table()
 

@@ -302,12 +302,16 @@ def tfidf_top_terms(
     per-batch explode+groupby (each doc is a single row, so per-batch
     counts are complete — a combiner, not a partial); df is one
     token-keyed groupby over those pairs (each pair is distinct per doc,
-    so count == document frequency); the idf join is a hash-partitioned
-    ``Dataset.join`` on token (never a broadcast — vocabulary grows with
-    the corpus); the final per-doc top-k rides grouped_top_k, so at most
-    k rows per doc per batch reach the last shuffle. Deterministic
-    tie-break (score DESC, token ASC) — SQL-oracle-parity formula
-    (DuckDB: tf * ln(N / df) with float division)."""
+    so count == document frequency); the idf join is a hash-bucketed
+    merge — tf pairs and df rows co-partitioned by ``hash(token) % nb``
+    in ONE groupby, merged + scored by a vectorized pandas kernel per
+    bucket (never a broadcast — vocabulary grows with the corpus); the
+    final per-doc top-k rides grouped_top_k, so at most k rows per doc
+    per batch reach the last shuffle. Deterministic tie-break (score
+    DESC, token ASC) — SQL-oracle-parity formula (DuckDB: tf * ln(N /
+    df) with float division). (Ray 2.49's ``Dataset.join`` is avoided:
+    a hash partition receiving zero rows on either side crashes its
+    acero finalize, which any token-less corpus hits.)"""
     import ray
     import ray.data  # noqa: F401  (docs is a Dataset)
     import pyarrow as pa
@@ -343,24 +347,58 @@ def tfidf_top_terms(
             }
         )
 
+    nb = join_partitions
     pairs = docs.map_batches(tf_pairs, batch_format="pandas")
-    dfreq = (
-        pairs.groupby("token")
-        .count()
-        .map_batches(lambda d: d.rename(columns={"count()": "df"}), batch_format="pandas")
+
+    def tag(side: int, rename: dict | None = None):
+        def f(d: pd.DataFrame) -> pd.DataFrame:
+            if rename:
+                d = d.rename(columns=rename)
+            d = d.copy()
+            if side == 1:
+                d["doc_id"] = np.int64(-1)
+                d["tf"] = np.int64(0)
+            else:
+                d["df"] = np.int64(0)
+            d["bucket"] = (pd.util.hash_array(d["token"].to_numpy()) % np.uint64(nb)).astype(
+                np.int64
+            )
+            d["side"] = np.int8(side)
+            return d[["doc_id", "token", "tf", "df", "bucket", "side"]]
+
+        return f
+
+    dfreq = pairs.groupby("token").count().map_batches(
+        tag(1, {"count()": "df"}), batch_format="pandas"
     )
-    joined = pairs.join(dfreq, "inner", num_partitions=join_partitions, on=("token",))
+    tagged = pairs.map_batches(tag(0), batch_format="pandas").union(dfreq)
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        df["score"] = df["tf"].to_numpy().astype(np.float64) * np.log(
-            float(n_docs) / df["df"].to_numpy().astype(np.float64)
+    def merge_score(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["side"] == 0, ["doc_id", "token", "tf"]]
+        right = g.loc[g["side"] == 1, ["token", "df"]]
+        m = left.merge(right, on="token", how="inner")
+        m["score"] = m["tf"].to_numpy().astype(np.float64) * np.log(
+            float(n_docs) / m["df"].to_numpy().astype(np.float64)
         )
-        return df[["doc_id", "token", "score"]]
+        return m[["doc_id", "token", "score"]]
 
-    scored = joined.map_batches(score, batch_format="pandas")
+    typed_empty = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "token": pd.Series(dtype="object"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+    )
+    scored = tagged.groupby("bucket").map_groups(merge_score, batch_format="pandas").union(
+        typed_empty
+    )
+    # second typed union AFTER the top-k: its internal groupby emits
+    # degenerate blocks on a token-less corpus and the schema is lost again
     return grouped_top_k(
         scored, ["doc_id"], ["score", "token"], k=k, descending=[True, False], num_shards=num_shards
-    )
+    ).union(typed_empty)
 
 
 def top_tokens(docs, k: int = 50):

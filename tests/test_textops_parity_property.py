@@ -99,6 +99,20 @@ def test_top_tokens_and_ngram_jaccard_parity(ray_session, texts):
     assert np.allclose(gotp["jaccard"].to_numpy(), expp["jaccard"].to_numpy(), atol=0), texts
 
 
+def test_tfidf_tokenless_corpus_keeps_schema(ray_session):
+    # Dataset.join used to crash acero finalize when a hash partition saw
+    # zero rows on a side — any token-less corpus hit it; the bucketed
+    # merge must return a typed empty result instead
+    from kkray.textops import tfidf_top_terms
+
+    for df in [
+        pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "text": pd.Series(dtype="object")}),
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["  ", "\t\n", ""]}),
+    ]:
+        out = to_pandas_typed(tfidf_top_terms(ray.data.from_pandas(df)))
+        assert len(out) == 0 and list(out.columns) == ["doc_id", "token", "score"]
+
+
 @settings(max_examples=10, deadline=None)
 @given(texts=_docs_strategy())
 def test_repetition_stats_parity(ray_session, texts):
