@@ -92,6 +92,14 @@ def main(argv=None):
     dd.add_argument("--shingle-n", type=int, default=3)
     dd.add_argument("--max-hamming", type=int, default=3, help="simhash hamming cutoff")
 
+    dc = sub.add_parser("decontaminate", help="train + benchmark parquet -> shared-shingle overlap parquet")
+    dc.add_argument("--train", required=True, help="training docs parquet with (doc_id, text)")
+    dc.add_argument("--bench", required=True, help="benchmark/eval docs parquet with (doc_id, text)")
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--shingle-n", type=int, default=5)
+    dc.add_argument("--string-keys", action="store_true",
+                    help="join on literal shingle strings instead of 63-bit hashes")
+
     kn = sub.add_parser("knn", help="embeddings parquet -> top-k cosine neighbours parquet")
     kn.add_argument("--embeddings", required=True, help="parquet with (vec_id, embedding)")
     kn.add_argument("--queries-file", required=True, help="parquet of query rows (same schema); all rows are queries")
@@ -136,6 +144,21 @@ def main(argv=None):
         else:  # zero-row blocks would lose the schema through write_parquet
             ray.data.from_arrow(collect_arrow(out)).write_parquet(args.out)
         print(json.dumps({"cmd": "dedup", "mode": args.mode, "rows": n, "sec": round(time.perf_counter() - t0, 2)}))
+        return 0
+
+    if args.cmd == "decontaminate":
+        from .ops import collect_arrow
+        from .textops.dedup import decontaminate
+
+        train = ray.data.read_parquet(args.train, columns=["doc_id", "text"])
+        bench = ray.data.read_parquet(args.bench, columns=["doc_id", "text"])
+        out = decontaminate(train, bench, shingle_n=args.shingle_n, hashed=not args.string_keys)
+        n = out.count()
+        if n:
+            out.write_parquet(args.out)
+        else:  # zero-row blocks would lose the schema through write_parquet
+            ray.data.from_arrow(collect_arrow(out)).write_parquet(args.out)
+        print(json.dumps({"cmd": "decontaminate", "rows": n, "sec": round(time.perf_counter() - t0, 2)}))
         return 0
 
     if args.cmd == "knn":

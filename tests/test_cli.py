@@ -51,3 +51,21 @@ def test_cli_knn_brute(ray_session, tmp_path, capsys):
     df = t.to_pandas()
     r0 = df[df["rank"] == 0].sort_values("query_id")
     assert np.allclose(r0["cosine"].to_numpy(), 1.0, atol=1e-9)
+
+
+def test_cli_decontaminate(ray_session, tmp_path, capsys):
+    # self-decontamination: every train doc with >=1 shingle overlaps itself
+    out = str(tmp_path / "decon")
+    assert main(
+        [
+            "decontaminate",
+            "--train", f"{SF}/documents.parquet",
+            "--bench", f"{SF}/documents.parquet",
+            "--out", out,
+        ]
+    ) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    t = pq.read_table(out)
+    assert t.num_rows == line["rows"] > 0
+    assert set(t.schema.names) == {"doc_id", "n_shared"}
+    assert (t.column("n_shared").to_numpy() >= 1).all()
