@@ -99,6 +99,31 @@ def test_top_tokens_and_ngram_jaccard_parity(ray_session, texts):
     assert np.allclose(gotp["jaccard"].to_numpy(), expp["jaccard"].to_numpy(), atol=0), texts
 
 
+@settings(max_examples=6, deadline=None)
+@given(texts=_docs_strategy())
+def test_tfidf_parity(ray_session, texts):
+    from kkray.textops import tfidf_top_terms
+
+    texts = texts + ["a b a", "b b c c c"]  # guaranteed tokens + repeated terms
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    con = _con_with(df)
+
+    got = (
+        to_pandas_typed(tfidf_top_terms(ray.data.from_pandas(df)))
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        con.execute(_SQLS["tfidf_top_terms"]).df()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].astype("int64").tolist() == exp["doc_id"].astype("int64").tolist(), texts
+    assert got["token"].tolist() == exp["token"].tolist(), texts
+    # the oracle rounds to 6 decimals (as does the contract query)
+    assert np.allclose(np.round(got["score"].to_numpy(), 6), exp["score"].to_numpy(), atol=1e-9), texts
+
+
 def test_tfidf_tokenless_corpus_keeps_schema(ray_session):
     # Dataset.join used to crash acero finalize when a hash partition saw
     # zero rows on a side — any token-less corpus hit it; the bucketed
