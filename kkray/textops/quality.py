@@ -68,8 +68,8 @@ class QualityStats:
     composite [0,1] quality score (monotone in 'looks like prose').
 
     All kernels are vectorized (pandas C regex counts + one token explode)
-    — no per-character python loops. n_digits counts regex \\d (unicode Nd,
-    identical to str.isdigit for all ordinary digits); uppercase counts the
+    — no per-character python loops. n_digits counts ASCII [0-9] (the
+    oracle-parity rule shared across all text ops); uppercase counts the
     Latin-1 uppercase class [A-ZÀ-ÖØ-Þ] — a deliberate Latin-script
     heuristic (one C regex pass), NOT full-Unicode isupper; non-Latin
     scripts contribute 0 to upper_ratio."""
