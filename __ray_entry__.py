@@ -1033,6 +1033,80 @@ def _q_latest_event_per_user(sf_dir: str):
     )
 
 
+PII_SUFFIX_FMT = " contact user{did}@example.com or 555-123-4567 at 10.0.{oct}.1"
+CHUNK_SIZE = 32
+SHARD_N = 8
+
+
+def _q_pii_redaction(sf_dir: str):
+    """PII redaction (emails / dashed-or-dotted phones / IPv4 -> typed
+    placeholders) with per-doc match counts. The synthetic corpus carries
+    no PII, so the query appends a deterministic PII suffix built from
+    doc_id on BOTH sides (engine and SQL) — the redaction kernels then
+    run on identical strings and the redacted text is hash-checked
+    byte-identical. Replacement order (email -> phone -> ip) is part of
+    the contract; counts are taken on the pre-replacement text of each
+    stage, mirroring the SQL's nested regexp_replace chain."""
+    import ray.data
+    from kkray.textops import RedactPII
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_pii(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        suffix = pd.Series(
+            [PII_SUFFIX_FMT.format(did=i, oct=i % 256) for i in ids], index=df.index
+        )
+        out = df.copy()
+        out["text"] = df["text"].fillna("") + suffix
+        return out
+
+    out = (
+        docs.map_batches(add_pii, batch_format="pandas")
+        .map_batches(RedactPII, batch_format="pandas", concurrency=(1, 8))
+        .to_pandas()
+    )
+    return (
+        out.astype({"doc_id": "int64", "n_emails": "int64", "n_phones": "int64", "n_ips": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_chunk_documents(sf_dir: str):
+    """Fixed-size token chunking (LLM sequence-packing prep): each doc ->
+    ceil(n_tokens/32) chunks of <=32 whitespace tokens; chunk_text is the
+    literal joined window (hash-checked against DuckDB list slicing)."""
+    import ray.data
+    from kkray.ops import to_pandas_typed
+    from kkray.textops import chunk_documents
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = to_pandas_typed(chunk_documents(docs, chunk_size=CHUNK_SIZE))
+    return (
+        out.astype({"doc_id": "int64", "chunk_id": "int64", "n_tokens": "int64"})
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_shard_assignment(sf_dir: str):
+    """Deterministic training-data shuffle: (doc_id -> shard, pos) from
+    the SQL-parity multiplicative hash; pos is the 0-based (h, id) rank
+    within the shard. Reproducible layout == resumable shard re-emission."""
+    import ray.data
+    from kkray.ops import shard_assignment
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = shard_assignment(docs, "doc_id", n_shards=SHARD_N).to_pandas()
+    return (
+        out[["doc_id", "shard", "pos"]]
+        .astype("int64")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_curated_corpus(sf_dir: str):
     """Composed pipeline: quality pre-filter -> exact text dedup (min
     doc_id wins) -> stratified k-per-lang sample; oracle composes the
@@ -1290,6 +1364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": _q_repetition_stats,
         "decontaminate_overlap": _q_decontaminate,
         "latest_event_per_user": _q_latest_event_per_user,
+        "pii_redaction": _q_pii_redaction,
+        "chunk_documents": _q_chunk_documents,
+        "shard_assignment": _q_shard_assignment,
         "lang_counts": _q_lang_counts,
         "source_stats": _q_source_stats,
         "langid_pred": _q_langid,
@@ -1455,6 +1532,53 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                          ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) WHERE rn = 1 ORDER BY user_id""",
+        # PII redaction: the identical deterministic PII suffix is built
+        # from doc_id on both sides; patterns are ASCII-explicit and
+        # Python-re <-> RE2 identical; counts are taken on each stage's
+        # pre-replacement text exactly as the engine does (email -> phone
+        # -> ip order is part of the operator contract)
+        "pii_redaction": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com or 555-123-4567 at 10.0.'
+                          || (doc_id % 256) || '.1' AS t0
+              FROM documents),
+            s1 AS (SELECT doc_id, t0,
+                     regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                   FROM aug),
+            s2 AS (SELECT *, regexp_replace(t1, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT *, regexp_replace(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t3
+                   FROM s2)
+            SELECT doc_id,
+                   len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(t1, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}'))::BIGINT AS n_phones,
+                   len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ips,
+                   t3 AS text_redacted
+            FROM s3 ORDER BY doc_id""",
+        # fixed-size token chunking: literal joined windows via 1-based
+        # inclusive list slicing; zero-token docs produce zero chunks
+        "chunk_documents": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+            ch AS (
+              SELECT doc_id, g AS chunk_id,
+                     least(32, len(tk) - g*32)::BIGINT AS n_tokens,
+                     array_to_string(tk[g*32+1 : g*32+32], ' ') AS chunk_text
+              FROM toks,
+                   unnest(generate_series(0, CAST(ceil(len(tk)/32.0) AS BIGINT) - 1)) t(g))
+            SELECT doc_id, chunk_id::BIGINT AS chunk_id, n_tokens, chunk_text
+            FROM ch ORDER BY doc_id, chunk_id""",
+        # deterministic shard/pos assignment: identical multiplicative-hash
+        # arithmetic as stratified_sample's oracle; rank ties break by id
+        "shard_assignment": """
+            WITH h AS (
+              SELECT doc_id,
+                     ((doc_id % 4294967291)::HUGEINT * 2654435761) % 4294967291 AS h
+              FROM documents)
+            SELECT doc_id, (h % 8)::BIGINT AS shard,
+                   (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT AS pos
+            FROM h ORDER BY doc_id""",
         "embedding_near_dup_pairs": """
             SELECT e1.vec_id::BIGINT AS a, e2.vec_id::BIGINT AS b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id

@@ -21,6 +21,7 @@ Headline set (matches BASELINE.json metric):
   knn           brute-force cosine top-10 over embeddings
   repetition    Gopher-style dup/top-bigram fractions per document
   decontaminate shared-shingle overlap vs a benchmark subset (hashed keys)
+  corpus_prep   PII redaction -> token chunking -> deterministic sharding
 """
 from __future__ import annotations
 
@@ -411,6 +412,33 @@ def run_benchmarks() -> dict:
             docs_d.map_batches(_mod(False), batch_format="pandas"),
             docs_d.map_batches(_mod(True), batch_format="pandas"),
             hashed=True,  # the 8-byte-key scale mode
+        ).count()
+
+    with timed("corpus_prep"):
+        # composed training-data prep: PII redaction -> fixed-size token
+        # chunking -> deterministic shard/pos assignment of the chunks
+        from kkray.ops import shard_assignment
+        from kkray.textops import RedactPII, chunk_documents
+
+        docs_p = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        ).repartition(NUM_CPUS * 2)
+        red = docs_p.map_batches(RedactPII, batch_format="pandas", concurrency=(1, NUM_CPUS))
+        chunks = chunk_documents(
+            red.map_batches(
+                lambda df: df.rename(columns={"text_redacted": "text"})[["doc_id", "text"]],
+                batch_format="pandas",
+            ),
+            chunk_size=256,
+        )
+
+        def _uid(df):
+            df = df.copy()
+            df["chunk_uid"] = df["doc_id"].to_numpy() * (1 << 20) + df["chunk_id"].to_numpy()
+            return df[["chunk_uid"]]
+
+        extras["corpus_prep_chunks"] = shard_assignment(
+            chunks.map_batches(_uid, batch_format="pandas"), "chunk_uid", n_shards=64
         ).count()
 
     ray.shutdown()

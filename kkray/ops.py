@@ -350,3 +350,59 @@ def grouped_approx_distinct(
         .groupby("_kb")
         .map_groups(lambda g: estimate(g.drop(columns=["_kb"])), batch_format="pandas")
     )
+
+
+def shard_assignment(
+    ds: ray.data.Dataset,
+    id_col: str,
+    n_shards: int,
+) -> ray.data.Dataset:
+    """Deterministic training-data shuffle: assign every row a shard and a
+    position within that shard from a keyed multiplicative hash of
+    ``id_col`` — the "global shuffle" prep step of an LLM training
+    pipeline, made reproducible and resumable (re-running yields the
+    identical layout; a failed run can re-emit exactly the missing
+    shards). Output: (id_col, shard, pos) with shard = h % n_shards and
+    pos = 0-based rank of (h, id) within the shard.
+
+    Hash rule shares stratified_sample's SQL-parity arithmetic
+    (h = (id mod 4294967291) * 2654435761 mod 4294967291, exact in
+    uint64 for every non-negative int64 id); ties in h break by id, so
+    the order is total and deterministic.
+
+    100 TB shape: ONE shuffle keyed by shard; each shard is ranked by a
+    single vectorized lexsort and is exactly one output partition —
+    size ``n_shards`` so a shard fits a task (e.g. 100k shards for
+    10^12 docs), the same knob a partitioned-Parquet sink needs anyway."""
+    MUL, MOD = np.uint64(2654435761), np.uint64(4294967291)
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        if np.any(np.asarray(ids) < 0):
+            raise ValueError("shard_assignment: id_col must be non-negative")
+        h = ((ids.astype(np.uint64) % MOD) * MUL) % MOD
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "_h": h.astype(np.int64),
+                "shard": (h % np.uint64(n_shards)).astype(np.int64),
+            }
+        )
+
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[id_col].to_numpy(), g["_h"].to_numpy()))
+        pos = np.empty(len(g), dtype=np.int64)
+        pos[order] = np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "shard": g["shard"].to_numpy(),
+                "pos": pos,
+            }
+        )
+
+    return (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(rank_shard, batch_format="pandas")
+    )
