@@ -1107,6 +1107,32 @@ def _q_shard_assignment(sf_dir: str):
     )
 
 
+KHOP_SEED_MOD = 97
+KHOP_FANOUTS = [3, 2]
+
+
+def _q_khop_neighbors(sf_dir: str):
+    """GNN-minibatch neighbor sampling on the order-chain graph:
+    2-hop fanout-[3,2] expansion around every root with root % 97 == 0,
+    deterministic mode (fanout smallest dst per (root, src) — the
+    SQL-parity rule, row_number over the sorted adjacency). The uniform
+    sampling mode is pytest-covered (bounds + reproducibility)."""
+    import ray.data
+    from kkray.graph import khop_neighbors
+    from kkray.ops import to_pandas_typed
+
+    src, dst = _chain_arrays(sf_dir)
+    seeds = np.unique(src[src % KHOP_SEED_MOD == 0])
+    edges = ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst})).repartition(8)
+    out = to_pandas_typed(khop_neighbors(edges, seeds, KHOP_FANOUTS, mode="first"))
+    return (
+        out[["root", "hop", "src", "dst"]]
+        .astype("int64")
+        .sort_values(["root", "hop", "src", "dst"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_curated_corpus(sf_dir: str):
     """Composed pipeline: quality pre-filter -> exact text dedup (min
     doc_id wins) -> stratified k-per-lang sample; oracle composes the
@@ -1367,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": _q_pii_redaction,
         "chunk_documents": _q_chunk_documents,
         "shard_assignment": _q_shard_assignment,
+        "khop_neighbors": _q_khop_neighbors,
         "lang_counts": _q_lang_counts,
         "source_stats": _q_source_stats,
         "langid_pred": _q_langid,
@@ -1579,6 +1606,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (h % 8)::BIGINT AS shard,
                    (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT AS pos
             FROM h ORDER BY doc_id""",
+        # k-hop fanout sampling, deterministic mode: hop 1 = the 3 smallest
+        # dst per root, hop 2 = the 2 smallest dst per distinct (root, hop-1
+        # dst) pair; row_number over the sorted adjacency is the same rule
+        # grouped_top_k applies in the engine
+        "khop_neighbors": f"""
+            WITH e AS MATERIALIZED ({_ORDER_CHAIN_SQL}),
+            seeds AS (SELECT DISTINCT src AS root FROM e WHERE src % 97 = 0),
+            h1 AS (
+              SELECT root, src, dst FROM (
+                SELECT s.root, e.src, e.dst,
+                       row_number() OVER (PARTITION BY s.root, e.src ORDER BY e.dst) AS rn
+                FROM seeds s JOIN e ON e.src = s.root) WHERE rn <= 3),
+            f1 AS (SELECT DISTINCT root, dst AS v FROM h1),
+            h2 AS (
+              SELECT root, src, dst FROM (
+                SELECT f.root, e.src, e.dst,
+                       row_number() OVER (PARTITION BY f.root, e.src ORDER BY e.dst) AS rn
+                FROM f1 f JOIN e ON e.src = f.v) WHERE rn <= 2)
+            SELECT root, 1::BIGINT AS hop, src, dst FROM h1
+            UNION ALL
+            SELECT root, 2::BIGINT AS hop, src, dst FROM h2
+            ORDER BY root, hop, src, dst""",
         "embedding_near_dup_pairs": """
             SELECT e1.vec_id::BIGINT AS a, e2.vec_id::BIGINT AS b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id

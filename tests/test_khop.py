@@ -1,0 +1,93 @@
+"""K-hop neighbor sampling: deterministic mode vs a brute numpy
+reference on randomized graphs, uniform-mode invariants (fanout bound,
+adjacency subset, seed reproducibility, block-split invariance)."""
+import numpy as np
+import pandas as pd
+import ray.data
+from hypothesis import given, settings, strategies as st
+
+from kkray.graph import khop_neighbors
+from kkray.ops import to_pandas_typed
+
+
+def _rand_edges(rng, n_v, n_e):
+    src = rng.integers(0, n_v, n_e)
+    dst = rng.integers(0, n_v, n_e)
+    df = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates().astype("int64")
+    return df[df.src != df.dst].reset_index(drop=True)
+
+
+def _brute_first(df, seeds, fanouts):
+    """Pure-pandas reference of mode='first': per hop, the f smallest dst
+    per (root, src), expanding distinct (root, dst) frontiers."""
+    rows = []
+    frontier = pd.DataFrame({"root": seeds, "v": seeds})
+    for hop, f in enumerate(fanouts, start=1):
+        m = df.merge(frontier, left_on="src", right_on="v")
+        top = m.sort_values("dst").groupby(["root", "src"], sort=False).head(f)
+        top = top.assign(hop=hop)[["root", "hop", "src", "dst"]]
+        rows.append(top)
+        frontier = top[["root", "dst"]].drop_duplicates().rename(columns={"dst": "v"})
+    out = pd.concat(rows) if rows else pd.DataFrame(columns=["root", "hop", "src", "dst"])
+    return out.sort_values(["root", "hop", "src", "dst"]).reset_index(drop=True).astype("int64")
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(0, 10_000), nblocks=st.sampled_from([1, 3, 7]))
+def test_khop_first_matches_brute(ray_session, seed, nblocks):
+    rng = np.random.default_rng(seed)
+    df = _rand_edges(rng, 40, 300)
+    seeds = np.unique(rng.integers(0, 40, 6)).astype(np.int64)
+    ds = ray.data.from_pandas(df).repartition(nblocks)
+    got = (
+        to_pandas_typed(khop_neighbors(ds, seeds, [3, 2], mode="first"))
+        .sort_values(["root", "hop", "src", "dst"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    exp = _brute_first(df, seeds, [3, 2])
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_khop_uniform_invariants(ray_session):
+    rng = np.random.default_rng(7)
+    df = _rand_edges(rng, 60, 800)
+    seeds = np.arange(0, 60, 11, dtype=np.int64)
+    ds = ray.data.from_pandas(df).repartition(4)
+    fanouts = [4, 2]
+    adj = set(zip(df["src"], df["dst"]))
+
+    runs = []
+    for nblocks in (4, 9):
+        out = to_pandas_typed(
+            khop_neighbors(ray.data.from_pandas(df).repartition(nblocks), seeds, fanouts, mode="uniform", rng_seed=3)
+        ).sort_values(["root", "hop", "src", "dst"]).reset_index(drop=True)
+        runs.append(out)
+    # reproducible across runs and block splits
+    pd.testing.assert_frame_equal(runs[0], runs[1])
+    out = runs[0]
+    # every sampled edge is a real edge; fanout bound holds per (root, src)
+    assert all((s, d) in adj for s, d in zip(out["src"], out["dst"]))
+    for hop, f in enumerate(fanouts, start=1):
+        h = out[out["hop"] == hop]
+        assert h.groupby(["root", "src"]).size().max() <= f
+        # hop-1 sources are exactly the seeds that have out-edges
+        if hop == 1:
+            assert set(h["src"]) <= set(seeds.tolist())
+    # a different rng_seed yields a different (but still valid) sample
+    other = to_pandas_typed(khop_neighbors(ds, seeds, fanouts, mode="uniform", rng_seed=4))
+    assert not other.sort_values(["root", "hop", "src", "dst"]).reset_index(drop=True).equals(out)
+
+
+def test_khop_empty_and_sink_seeds(ray_session):
+    df = pd.DataFrame({"src": [0, 0, 1], "dst": [1, 2, 3]}).astype("int64")
+    ds = ray.data.from_pandas(df)
+    # seed 5 has no out-edges; seed 3 is a sink reached at hop 1
+    out = to_pandas_typed(khop_neighbors(ds, np.array([1, 5]), [2, 2], mode="first"))
+    out = out.sort_values(["root", "hop", "src", "dst"]).reset_index(drop=True)
+    assert out["root"].tolist() == [1]
+    assert out["hop"].tolist() == [1]
+    assert out["dst"].tolist() == [3]
+    # all-empty seeds
+    none = to_pandas_typed(khop_neighbors(ds, np.array([], dtype=np.int64), [2], mode="first"))
+    assert len(none) == 0 and list(none.columns) == ["root", "hop", "src", "dst"]
