@@ -109,6 +109,13 @@ def main(argv=None):
     kn.add_argument("--nlist", type=int, default=64)
     kn.add_argument("--nprobe", type=int, default=8)
 
+    pp = sub.add_parser("prep", help="documents parquet -> redacted, chunked, shard-assigned corpus parquet")
+    pp.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
+    pp.add_argument("--out", required=True, help="output dir (partitioned by shard)")
+    pp.add_argument("--chunk-size", type=int, default=512, help="tokens per training chunk")
+    pp.add_argument("--shards", type=int, default=64, help="output shard count")
+    pp.add_argument("--no-redact", action="store_true", help="skip the PII redaction pass")
+
     wk = sub.add_parser("walk", parents=[common])
     wk.add_argument("--kind", choices=["deepwalk", "ppr", "node2vec", "mh"], default="deepwalk")
     wk.add_argument("--walkers", type=int, required=True)
@@ -159,6 +166,38 @@ def main(argv=None):
         else:  # zero-row blocks would lose the schema through write_parquet
             ray.data.from_arrow(collect_arrow(out)).write_parquet(args.out)
         print(json.dumps({"cmd": "decontaminate", "rows": n, "sec": round(time.perf_counter() - t0, 2)}))
+        return 0
+
+    if args.cmd == "prep":
+        from .ops import shard_assignment
+        from .textops import RedactPII, chunk_documents
+
+        docs = ray.data.read_parquet(args.docs, columns=["doc_id", "text"])
+        if not args.no_redact:
+            docs = docs.map_batches(RedactPII, batch_format="pandas", concurrency=(1, 8)).map_batches(
+                lambda df: df.rename(columns={"text_redacted": "text"})[["doc_id", "text"]],
+                batch_format="pandas",
+            )
+        chunks = chunk_documents(docs, chunk_size=args.chunk_size)
+
+        def _uid(df):
+            df = df.copy()
+            df["chunk_uid"] = df["doc_id"].to_numpy() * (1 << 20) + df["chunk_id"].to_numpy()
+            return df
+
+        chunks = chunks.map_batches(_uid, batch_format="pandas").materialize()
+        placed = shard_assignment(chunks.select_columns(["chunk_uid"]), "chunk_uid", args.shards)
+        # join the (shard, pos) layout back onto the chunk payload by the
+        # dense chunk_uid key (both sides populated: safe for Dataset.join)
+        out = chunks.join(
+            placed,
+            join_type="inner",
+            num_partitions=max(2, int(ray.cluster_resources().get("CPU", 4))),
+            on=("chunk_uid",),
+        )
+        n = out.count()
+        out.write_parquet(args.out, partition_cols=["shard"])
+        print(json.dumps({"cmd": "prep", "chunks": n, "shards": args.shards, "sec": round(time.perf_counter() - t0, 2)}))
         return 0
 
     if args.cmd == "knn":

@@ -69,3 +69,24 @@ def test_cli_decontaminate(ray_session, tmp_path, capsys):
     assert t.num_rows == line["rows"] > 0
     assert set(t.schema.names) == {"doc_id", "n_shared"}
     assert (t.column("n_shared").to_numpy() >= 1).all()
+
+
+def test_cli_prep(ray_session, tmp_path, capsys):
+    out = str(tmp_path / "prep")
+    assert main(
+        [
+            "prep",
+            "--docs", f"{SF}/documents.parquet",
+            "--out", out, "--chunk-size", "64", "--shards", "4",
+        ]
+    ) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["cmd"] == "prep" and line["chunks"] > 0
+    import pyarrow.dataset as pads
+
+    df = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+    assert len(df) == line["chunks"]
+    assert {"doc_id", "chunk_id", "n_tokens", "chunk_text", "shard", "pos"} <= set(df.columns)
+    assert (df["n_tokens"] <= 64).all() and (df["n_tokens"] > 0).all()
+    for _, g in df.groupby("shard"):
+        assert sorted(g["pos"].tolist()) == list(range(len(g)))
