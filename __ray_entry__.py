@@ -1107,6 +1107,27 @@ def _q_shard_assignment(sf_dir: str):
     )
 
 
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_MIN_COUNT = 2
+
+
+def _q_skipgram_pairs(sf_dir: str):
+    """Corpus-wide skip-gram (center, context) pair counts, symmetric
+    window 2, min_count 2 — the word2vec training-corpus prep step.
+    Per-batch value_counts combiner -> one (center, context) groupby."""
+    import ray.data
+    from kkray.ops import to_pandas_typed
+    from kkray.textops import skipgram_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = to_pandas_typed(skipgram_pairs(docs, window=SKIPGRAM_WINDOW, min_count=SKIPGRAM_MIN_COUNT))
+    return (
+        out.astype({"n": "int64"})
+        .sort_values(["center", "context"])
+        .reset_index(drop=True)
+    )
+
+
 KHOP_SEED_MOD = 97
 KHOP_FANOUTS = [3, 2]
 
@@ -1394,6 +1415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "shard_assignment": _q_shard_assignment,
         "khop_neighbors": _q_khop_neighbors,
+        "skipgram_pairs": _q_skipgram_pairs,
         "lang_counts": _q_lang_counts,
         "source_stats": _q_source_stats,
         "langid_pred": _q_langid,
@@ -1606,6 +1628,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (h % 8)::BIGINT AS shard,
                    (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT AS pos
             FROM h ORDER BY doc_id""",
+        # skip-gram pair counts: same ASCII \S+ tokens, ordered pairs at
+        # distance 1..2 inside a doc (both directions), count >= 2
+        "skipgram_pairs": r"""
+            WITH toks AS (
+              SELECT regexp_extract_all(text, '\S+') AS tk FROM documents),
+            pos AS (
+              SELECT tk, g FROM toks, unnest(generate_series(1, len(tk))) t(g)),
+            pairs AS (
+              SELECT tk[g] AS center, tk[g + o] AS context
+              FROM pos, unnest([-2, -1, 1, 2]) t2(o)
+              WHERE g + o BETWEEN 1 AND len(tk))
+            SELECT center, context, count(*)::BIGINT AS n
+            FROM pairs GROUP BY center, context
+            HAVING count(*) >= 2 ORDER BY center, context""",
         # k-hop fanout sampling, deterministic mode: hop 1 = the 3 smallest
         # dst per root, hop 2 = the 2 smallest dst per distinct (root, hop-1
         # dst) pair; row_number over the sorted adjacency is the same rule

@@ -433,3 +433,80 @@ def top_tokens(docs, k: int = 50):
         cands = pd.DataFrame({"token": pd.Series(dtype=str), "sum(n)": pd.Series(dtype=np.int64)})
     out = cands.sort_values(["sum(n)", "token"], ascending=[False, True]).head(k)
     return out.rename(columns={"sum(n)": "n"}).reset_index(drop=True)[["token", "n"]]
+
+
+def skipgram_pairs(
+    docs: "ray.data.Dataset",
+    window: int = 2,
+    min_count: int = 1,
+) -> "ray.data.Dataset":
+    """Corpus-wide skip-gram (center, context) pair counts with a
+    symmetric token window — the word2vec/DeepWalk training-corpus prep
+    step (the reference's walks exist to feed exactly this consumer;
+    here the same operator serves token streams and walk paths alike).
+    Output rows: (center, context, n) for every ordered pair of tokens
+    at distance 1..window inside one document, n >= min_count.
+
+    100 TB shape: one map_batches pass does the window explode as 2w
+    vectorized shifted-Series alignments masked at doc boundaries and
+    immediately value_counts them (combiner — the shuffle carries
+    (pair, partial_count) rows, never raw token pairs), then ONE
+    groupby(center, context).sum. min_count filters after the global
+    sum, exactly like word2vec's vocabulary cut."""
+    import pyarrow as pa
+
+    w = int(window)
+    if w <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+
+    def pair_counts(df: pd.DataFrame) -> pa.Table:
+        texts = df["text"].fillna("")
+        ex, _ = _exploded_tokens(texts)
+        empty = pa.table(
+            {
+                "center": pa.array([], pa.string()),
+                "context": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if not len(ex):
+            return empty
+        pos = ex.index.to_numpy().astype(np.int64)
+        toks = ex.to_numpy()
+        centers, contexts = [], []
+        for off in range(1, w + 1):
+            if off >= len(toks):
+                break
+            valid = pos[:-off] == pos[off:]  # pair must stay in-doc
+            a, b = toks[:-off][valid], toks[off:][valid]
+            centers.append(a)
+            contexts.append(b)
+            centers.append(b)  # symmetric window: both directions
+            contexts.append(a)
+        if not centers:
+            return empty
+        t = pd.DataFrame({"center": np.concatenate(centers), "context": np.concatenate(contexts)})
+        g = t.groupby(["center", "context"], sort=False, as_index=False).size()
+        return pa.table(
+            {
+                "center": pa.array(g["center"].astype(str)),
+                "context": pa.array(g["context"].astype(str)),
+                "n": g["size"].to_numpy().astype(np.int64),
+            }
+        )
+
+    summed = docs.map_batches(pair_counts, batch_format="pandas").groupby(["center", "context"]).sum("n")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if "sum(n)" not in df.columns:  # token-less corpus: degenerate block
+            return pd.DataFrame(
+                {
+                    "center": pd.Series(dtype=str),
+                    "context": pd.Series(dtype=str),
+                    "n": pd.Series(dtype=np.int64),
+                }
+            )
+        out = df.rename(columns={"sum(n)": "n"})
+        return out[out["n"] >= min_count][["center", "context", "n"]]
+
+    return summed.map_batches(finalize, batch_format="pandas")

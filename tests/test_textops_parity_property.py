@@ -197,3 +197,39 @@ def test_decontaminate_parity_and_hashed_mode(ray_session, texts):
         )
         assert gotf["doc_id"].astype("int64").tolist() == got["doc_id"].astype("int64").tolist(), (hm, texts)
         assert gotf["n_shared"].astype("int64").tolist() == got["n_shared"].astype("int64").tolist(), (hm, texts)
+
+
+def test_skipgram_pairs_deterministic(ray_session):
+    from kkray.textops import skipgram_pairs
+
+    df = pd.DataFrame({"doc_id": np.int64([0, 1]), "text": ["a b a b", "c"]})
+    out = (
+        to_pandas_typed(skipgram_pairs(ray.data.from_pandas(df), window=2, min_count=1))
+        .sort_values(["center", "context"])
+        .reset_index(drop=True)
+    )
+    # "a b a b": dist-1 pairs ab, ba, ab (+reverses), dist-2 aa, bb (+reverses)
+    got = {(r.center, r.context): r.n for r in out.itertuples()}
+    assert got == {
+        ("a", "b"): 3, ("b", "a"): 3,
+        ("a", "a"): 2, ("b", "b"): 2,
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_docs_strategy())
+def test_skipgram_pairs_parity(ray_session, texts):
+    from kkray.textops import skipgram_pairs
+
+    texts = texts + ["a b a b a"]  # guarantee pairs above min_count
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    con = _con_with(df)
+    got = (
+        to_pandas_typed(skipgram_pairs(ray.data.from_pandas(df).repartition(3), window=2, min_count=2))
+        .sort_values(["center", "context"])
+        .reset_index(drop=True)
+    )
+    exp = con.execute(_SQLS["skipgram_pairs"]).df().reset_index(drop=True)
+    assert got["center"].tolist() == exp["center"].tolist(), texts
+    assert got["context"].tolist() == exp["context"].tolist(), texts
+    assert got["n"].astype("int64").tolist() == exp["n"].astype("int64").tolist(), texts
