@@ -608,6 +608,32 @@ def _q_extract_text(sf_dir: str):
     return out[["url", "byte_identical"]].sort_values("url").reset_index(drop=True)
 
 
+def _q_page_anchors(sf_dir: str):
+    """Anchor-text corpus from the synth pages (the classic web ranking /
+    retrieval training signal): exploded (src_url, dst_url, anchor) rows
+    via the frozen extract_anchors spec. Self-checking: every row is
+    compared against the generator's independently-recorded ground truth
+    (anchors recorded before HTML escaping/rendering — the extractor must
+    recover them through entity unescape + tag strip), reported per-row
+    as manifest_match."""
+    import ray.data
+    from kkray.io.extract import ExtractAnchors
+    from kkray.io.synth import synth_pages
+
+    pages_tbl, meta = synth_pages(1000, seed=42)
+    pages = ray.data.from_arrow(pages_tbl.drop_columns(["text"]))
+    out = pages.map_batches(ExtractAnchors, batch_format="pyarrow", concurrency=4).to_pandas()
+    out = out.sort_values(["src_url", "dst_url", "anchor"], kind="stable").reset_index(drop=True)
+    exp = pd.DataFrame(meta.expected_anchors, columns=["src_url", "dst_url", "anchor"]).sort_values(
+        ["src_url", "dst_url", "anchor"], kind="stable"
+    ).reset_index(drop=True)
+    if len(out) == len(exp):
+        out["manifest_match"] = out[["src_url", "dst_url", "anchor"]].eq(exp).all(axis=1)
+    else:
+        out["manifest_match"] = False
+    return out
+
+
 def _q_page_edges(sf_dir: str):
     import ray.data
     from kkray.io.edges import build_edge_table
@@ -1398,6 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ingestion (SURVEY §2.1/§2.7 new scope)
         "extract_text_pages": _q_extract_text,
         "page_edges": _q_page_edges,
+        "page_anchor_texts": _q_page_anchors,
         "host_edges_synth": _q_host_edges,
         "host_pagerank_synth": _q_host_pagerank,
         # training-data ops (build brief)

@@ -145,6 +145,49 @@ def extract_links(html: bytes, base_url: str) -> list[str]:
     return out
 
 
+_RE_ANCHOR = re.compile(
+    r"<a\b[^>]*?\bhref\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_RE_WSPACE = re.compile(r"[ \t\r\n\f\v]+")
+
+
+def extract_anchors(html: bytes, base_url: str) -> list[tuple[str, str]]:
+    """Frozen html->(outlink, anchor_text) pairs (spec v1) — the anchor-text
+    corpus of a web link graph (the classic ranking/retrieval training
+    signal riding the same hyperlink extraction as ``extract_links``).
+
+    Spec: match each ``<a ... href=...>inner</a>`` element (a closing
+    ``</a>`` is REQUIRED — unlike ``extract_links``, which also counts
+    unclosed ``<a href>`` tags; the anchor text needs a delimited span);
+    href handling is identical to ``extract_links`` (unescape, strip,
+    skip empty/javascript:/mailto:/#, resolve against base_url,
+    normalize); anchor text = inner HTML with nested tags stripped,
+    entities unescaped, ASCII whitespace runs collapsed to single
+    spaces, stripped — empty anchor text (image links) is kept as ''.
+    Deterministic pure function of the bytes, same rules as the other
+    frozen extractors."""
+    s = html.decode("utf-8", errors="replace")
+    s = _RE_DROP.sub("", s)
+    out: list[tuple[str, str]] = []
+    for m in _RE_ANCHOR.finditer(s):
+        raw = m.group(2) or m.group(3) or m.group(4) or ""
+        raw = _unescape(raw).strip()
+        if not raw or raw.startswith(("javascript:", "mailto:", "#")):
+            continue
+        try:
+            absu = urljoin(base_url, raw)
+        except ValueError:
+            continue
+        norm = normalize_url(absu)
+        if norm is None:
+            continue
+        inner = _RE_TAG.sub("", m.group(5))
+        anchor = _RE_WSPACE.sub(" ", _unescape(inner)).strip()
+        out.append((norm, anchor))
+    return out
+
+
 # --- Ray Data stages --------------------------------------------------------
 
 
@@ -176,3 +219,29 @@ class ExtractLinks:
             srcs.extend([base] * len(links))
             dsts.extend(links)
         return pa.table({"src_url": pa.array(srcs, pa.string()), "dst_url": pa.array(dsts, pa.string())})
+
+
+class ExtractAnchors:
+    """map_batches stage: pages(url, html) -> exploded (src_url, dst_url,
+    anchor) rows via the frozen ``extract_anchors`` spec — the anchor-text
+    corpus builder (same explode shape as ExtractLinks)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        srcs: list[str] = []
+        dsts: list[str] = []
+        anchors: list[str] = []
+        for u, h in zip(urls, htmls):
+            base = normalize_url(u) or u
+            for dst, anchor in extract_anchors(h, base):
+                srcs.append(base)
+                dsts.append(dst)
+                anchors.append(anchor)
+        return pa.table(
+            {
+                "src_url": pa.array(srcs, pa.string()),
+                "dst_url": pa.array(dsts, pa.string()),
+                "anchor": pa.array(anchors, pa.string()),
+            }
+        )

@@ -70,6 +70,10 @@ class SynthMeta:
     components: np.ndarray  # component id per page index
     urls: list[str] = field(default_factory=list)
     expected_edges: list[tuple[str, str]] = field(default_factory=list)  # normalized, with duplicates, crawled+external
+    # (src, normalized dst, anchor text) per rendered link, in document
+    # order — the independent ground truth for the anchor-text extractor
+    # (mailto links excluded: the extractor skips them)
+    expected_anchors: list[tuple[str, str, str]] = field(default_factory=list)
 
 
 def synth_pages(n_pages: int = 1000, seed: int = 42, n_components: int = 3) -> tuple[pa.Table, SynthMeta]:
@@ -129,6 +133,7 @@ def synth_pages(n_pages: int = 1000, seed: int = 42, n_components: int = 3) -> t
             paras_html.append('<p>%s <a href="%s">%s</a> %s &amp; more</p>' % (_esc(w1), _esc(href), _esc(anchor), _esc(w2)))
             text_lines.append("%s %s %s & more" % (w1, anchor, w2))
             link_urls.append(tgt_url)
+            meta.expected_anchors.append((urls[i], tgt_url, anchor))
         if is_sink:
             paras_html.append("<p>terminal page %d</p>" % i)
             text_lines.append("terminal page %d" % i)
@@ -138,10 +143,12 @@ def synth_pages(n_pages: int = 1000, seed: int = 42, n_components: int = 3) -> t
             paras_html.append('<p>see <a href="%s">elsewhere</a> or <a href="mailto:x@y.z">mail</a></p>' % ext)
             text_lines.append("see elsewhere or mail")
             link_urls.append(ext)
+            meta.expected_anchors.append((urls[i], ext, "elsewhere"))
         if (i % 13) == 0:
             paras_html.append('<p>self <a href="%s">loop</a></p>' % _denormalize(urls[i], 2))
             text_lines.append("self loop")
             link_urls.append(urls[i])
+            meta.expected_anchors.append((urls[i], urls[i], "loop"))
 
         html = (
             "<html><head><title>%s</title>"

@@ -63,3 +63,58 @@ def test_normalize_url_total_and_idempotent(raw):
         p = urlsplit(n)
         assert p.scheme in ("http", "https")
         assert p.hostname
+
+
+def test_extract_anchors_known_cases():
+    from kkray.io.extract import extract_anchors
+
+    html = (
+        "<p><a href='http://a.com/x'>plain</a>"
+        '<a href="http://b.com/">with <b>nested</b>\n tags &amp; entity</a>'
+        "<a href='http://c.com/'><img src='i.png'></a>"  # empty anchor kept
+        "<a href='mailto:x@y.z'>skipped</a>"
+        "<a href='/rel'>relative</a>"
+        "<a href='http://unclosed.com/'>no close tag"  # no </a>: skipped
+        "</p>"
+    ).encode()
+    got = extract_anchors(html, "http://base.com/dir/")
+    assert got == [
+        ("http://a.com/x", "plain"),
+        ("http://b.com/", "with nested tags & entity"),
+        ("http://c.com/", ""),
+        ("http://base.com/rel", "relative"),
+    ]
+
+
+def test_extract_anchors_matches_synth_manifest():
+    from kkray.io.extract import extract_anchors
+    from kkray.io.synth import synth_pages
+
+    tbl, meta = synth_pages(300, seed=7)
+    got = []
+    for u, h in zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist()):
+        base = normalize_url(u) or u
+        got.extend((base, d, a) for d, a in extract_anchors(h, base))
+    assert got == meta.expected_anchors
+
+
+@settings(max_examples=120, deadline=None)
+@given(parts=st.lists(FRAGMENTS, min_size=0, max_size=25), base=st.sampled_from(
+    ["http://base.com/dir/page.html", "https://B.org:443/", "http://x.com"]))
+def test_extract_anchors_total_and_deterministic(parts, base):
+    from kkray.io.extract import extract_anchors, extract_links
+
+    html = "".join(parts).encode("utf-8", errors="surrogatepass")
+    a1 = extract_anchors(html, base)
+    a2 = extract_anchors(html, base)
+    assert a1 == a2  # byte-deterministic, never raises
+    links = set(extract_links(html, base))
+    for u, anchor in a1:
+        # every anchored link obeys the same canonical form, and is a
+        # subset of extract_links' matches (closing </a> required here)
+        assert normalize_url(u) == u
+        assert u in links
+        # anchor text is single-line, collapsed, stripped
+        assert "\n" not in anchor and "\t" not in anchor
+        assert "  " not in anchor
+        assert anchor == anchor.strip()
