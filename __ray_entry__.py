@@ -634,6 +634,25 @@ def _q_page_anchors(sf_dir: str):
     return out
 
 
+def _q_page_anchor_profiles(sf_dir: str):
+    """Per-target anchor-text profile (top-3 anchors by count per
+    linked-to url, ties count DESC then anchor ASC) — rows-only driver
+    check (pages aren't SQL tables); pytest verifies against a pandas
+    brute reference on the same synth corpus."""
+    import ray.data
+    from kkray.io.extract import anchor_profiles
+    from kkray.io.synth import synth_pages
+
+    pages_tbl, _ = synth_pages(1000, seed=42)
+    pages = ray.data.from_arrow(pages_tbl.drop_columns(["text"]))
+    out = anchor_profiles(pages, k=3).to_pandas()
+    return (
+        out.astype({"n": "int64"})
+        .sort_values(["dst_url", "anchor"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_page_edges(sf_dir: str):
     import ray.data
     from kkray.io.edges import build_edge_table
@@ -1425,6 +1444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_pages": _q_extract_text,
         "page_edges": _q_page_edges,
         "page_anchor_texts": _q_page_anchors,
+        "page_anchor_profiles": _q_page_anchor_profiles,
         "host_edges_synth": _q_host_edges,
         "host_pagerank_synth": _q_host_pagerank,
         # training-data ops (build brief)

@@ -245,3 +245,50 @@ class ExtractAnchors:
                 "anchor": pa.array(anchors, pa.string()),
             }
         )
+
+
+def anchor_profiles(pages, k: int = 3):
+    """Per-target anchor-text profile: for every linked-to url, the top-k
+    (anchor text, count) pairs across all pages linking to it — "what the
+    web says about this page", the classic anchor-text retrieval/ranking
+    training signal built on ``ExtractAnchors``.
+
+    100 TB shape: the explode stage streams; per-batch (dst, anchor)
+    value_counts is a combiner (the shuffle carries partial counts, not
+    raw anchor rows); ONE (dst_url, anchor) groupby-sum; the per-dst
+    top-k rides grouped_top_k (<= k rows per dst per batch shuffled).
+    Tie-break: count DESC, anchor ASC. Returns a Dataset
+    (dst_url, anchor, n)."""
+    import pandas as pd
+
+    from ..ops import grouped_top_k
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        df = ExtractAnchors()(t).to_pandas()
+        g = df.groupby(["dst_url", "anchor"], sort=False, as_index=False).size()
+        return pa.table(
+            {
+                "dst_url": pa.array(g["dst_url"].astype(str)),
+                "anchor": pa.array(g["anchor"].astype(str)),
+                "n": g["size"].to_numpy().astype(np.int64),
+            }
+        )
+
+    summed = pages.map_batches(partial_counts, batch_format="pyarrow").groupby(
+        ["dst_url", "anchor"]
+    ).sum("n")
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        if "sum(n)" not in df.columns:  # anchor-less corpus degenerate block
+            return pd.DataFrame(
+                {"dst_url": pd.Series(dtype=str), "anchor": pd.Series(dtype=str), "n": pd.Series(dtype=np.int64)}
+            )
+        return df.rename(columns={"sum(n)": "n"})
+
+    return grouped_top_k(
+        summed.map_batches(rename, batch_format="pandas"),
+        ["dst_url"],
+        ["n", "anchor"],
+        k=k,
+        descending=[True, False],
+    )

@@ -118,3 +118,32 @@ def test_extract_anchors_total_and_deterministic(parts, base):
         assert "\n" not in anchor and "\t" not in anchor
         assert "  " not in anchor
         assert anchor == anchor.strip()
+
+
+def test_anchor_profiles_matches_brute(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kkray.io.extract import ExtractAnchors, anchor_profiles
+    from kkray.io.synth import synth_pages
+
+    tbl, _ = synth_pages(400, seed=3)
+    pages = ray.data.from_arrow(tbl.drop_columns(["text"])).repartition(5)
+    got = (
+        anchor_profiles(pages, k=3)
+        .to_pandas()
+        .sort_values(["dst_url", "anchor"])
+        .reset_index(drop=True)
+        .astype({"n": "int64"})
+    )
+    raw = ExtractAnchors()(tbl).to_pandas()
+    counts = raw.groupby(["dst_url", "anchor"], as_index=False).size().rename(columns={"size": "n"})
+    exp = (
+        counts.sort_values(["n", "anchor"], ascending=[False, True])
+        .groupby("dst_url", sort=False)
+        .head(3)
+        .sort_values(["dst_url", "anchor"])
+        .reset_index(drop=True)[["dst_url", "anchor", "n"]]
+        .astype({"n": "int64"})
+    )
+    pd.testing.assert_frame_equal(got[["dst_url", "anchor", "n"]], exp)
