@@ -1055,7 +1055,10 @@ class WalkMixin:
 
     # ------------------------------------------------------------------ #
     def walk_steps_taken(self) -> int:
-        return self._nsteps
+        # 0 before the first walk_init (bench introspection must be total);
+        # NOTE: walk_init resets the counter, so the value is per-walk, not
+        # cumulative across walks on the same shard
+        return getattr(self, "_nsteps", 0)
 
     def walk_final_states(self):
         """Terminal (wid, step, wstate) triples collected on this shard."""
