@@ -91,3 +91,27 @@ def test_khop_empty_and_sink_seeds(ray_session):
     # all-empty seeds
     none = to_pandas_typed(khop_neighbors(ds, np.array([], dtype=np.int64), [2], mode="first"))
     assert len(none) == 0 and list(none.columns) == ["root", "hop", "src", "dst"]
+
+
+def test_khop_uniform_is_uniform(ray_session):
+    """KnightKing-style distribution check (the reference's signature
+    empirical-vs-analytic technique, test_walk.hpp:73-118 analogue):
+    300 roots share the same 12 out-neighbors; the rank hash is keyed by
+    (root, src, dst), so each root draws an independent
+    fanout-of-deg sample and every neighbor must be selected with
+    frequency ~= fanout/deg across roots. ONE engine call."""
+    n_roots, deg, fanout = 300, 12, 3
+    roots = np.arange(n_roots, dtype=np.int64)
+    targets = np.arange(1000, 1000 + deg, dtype=np.int64)
+    df = pd.DataFrame(
+        {"src": np.repeat(roots, deg), "dst": np.tile(targets, n_roots)}
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = to_pandas_typed(khop_neighbors(ds, roots, [fanout], mode="uniform", rng_seed=11))
+    assert len(out) == n_roots * fanout
+    freq = out.groupby("dst").size().reindex(targets, fill_value=0).to_numpy() / n_roots
+    expected = fanout / deg  # 0.25
+    # binomial(300, .25) std ~= 0.025 per neighbor; 5-sigma band
+    assert np.all(np.abs(freq - expected) < 0.125), freq.tolist()
+    # and the aggregate squared deviation is near its expectation
+    assert float(((freq - expected) ** 2).sum()) < 0.03
