@@ -145,10 +145,7 @@ def extract_links(html: bytes, base_url: str) -> list[str]:
     return out
 
 
-_RE_ANCHOR = re.compile(
-    r"<a\b[^>]*?\bhref\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a\s*>",
-    re.IGNORECASE | re.DOTALL,
-)
+_RE_ACLOSE = re.compile(r"</a\s*>", re.IGNORECASE)
 _RE_WSPACE = re.compile(r"[ \t\r\n\f\v]+")
 
 
@@ -157,12 +154,16 @@ def extract_anchors(html: bytes, base_url: str) -> list[tuple[str, str]]:
     corpus of a web link graph (the classic ranking/retrieval training
     signal riding the same hyperlink extraction as ``extract_links``).
 
-    Spec: match each ``<a ... href=...>inner</a>`` element (a closing
-    ``</a>`` is REQUIRED — unlike ``extract_links``, which also counts
-    unclosed ``<a href>`` tags; the anchor text needs a delimited span);
-    href handling is identical to ``extract_links`` (unescape, strip,
-    skip empty/javascript:/mailto:/#, resolve against base_url,
-    normalize); anchor text = inner HTML with nested tags stripped,
+    Spec: iterate the SAME ``<a href>`` matches as ``extract_links``
+    (one shared href grammar — anchored links are a subset of
+    extract_links' output BY CONSTRUCTION; a separate anchor regex can
+    backtrack to a different href on malformed unquoted values, found
+    by the hostile fuzz); a match yields an anchor only when its
+    opening tag closes (`>`) and a `</a>` follows — unclosed ``<a``
+    tags contribute no anchor. Href handling is identical to
+    ``extract_links`` (unescape, strip, skip empty/javascript:/
+    mailto:/#, resolve against base_url, normalize); anchor text =
+    the span up to the first ``</a>`` with nested tags stripped,
     entities unescaped, ASCII whitespace runs collapsed to single
     spaces, stripped — empty anchor text (image links) is kept as ''.
     Deterministic pure function of the bytes, same rules as the other
@@ -170,7 +171,7 @@ def extract_anchors(html: bytes, base_url: str) -> list[tuple[str, str]]:
     s = html.decode("utf-8", errors="replace")
     s = _RE_DROP.sub("", s)
     out: list[tuple[str, str]] = []
-    for m in _RE_ANCHOR.finditer(s):
+    for m in _RE_HREF.finditer(s):
         raw = m.group(2) or m.group(3) or m.group(4) or ""
         raw = _unescape(raw).strip()
         if not raw or raw.startswith(("javascript:", "mailto:", "#")):
@@ -182,7 +183,13 @@ def extract_anchors(html: bytes, base_url: str) -> list[tuple[str, str]]:
         norm = normalize_url(absu)
         if norm is None:
             continue
-        inner = _RE_TAG.sub("", m.group(5))
+        gt = s.find(">", m.end())
+        if gt == -1:
+            continue  # opening tag never closes: no anchor span
+        close = _RE_ACLOSE.search(s, gt + 1)
+        if close is None:
+            continue  # no </a>: unclosed anchor, no text span
+        inner = _RE_TAG.sub("", s[gt + 1 : close.start()])
         anchor = _RE_WSPACE.sub(" ", _unescape(inner)).strip()
         out.append((norm, anchor))
     return out
