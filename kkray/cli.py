@@ -181,19 +181,32 @@ def main(argv=None):
         chunks = chunk_documents(docs, chunk_size=args.chunk_size)
 
         def _uid(df):
+            doc = df["doc_id"].to_numpy()
+            cid = df["chunk_id"].to_numpy()
+            if len(doc):
+                # packing bounds: uid = doc_id << 20 | chunk_id must stay a
+                # collision-free non-negative int64
+                if int(cid.max()) >= (1 << 20):
+                    raise ValueError(
+                        f"prep: chunk_id {int(cid.max())} >= 2^20 — a document has too many "
+                        f"chunks for the packed chunk_uid; raise --chunk-size"
+                    )
+                if int(doc.max()) >= (1 << 43):
+                    raise ValueError(
+                        f"prep: doc_id {int(doc.max())} >= 2^43 overflows the packed int64 "
+                        f"chunk_uid; re-key doc ids below 2^43"
+                    )
             df = df.copy()
-            df["chunk_uid"] = df["doc_id"].to_numpy() * (1 << 20) + df["chunk_id"].to_numpy()
+            df["chunk_uid"] = doc * (1 << 20) + cid
             return df
 
-        chunks = chunks.map_batches(_uid, batch_format="pandas").materialize()
-        placed = shard_assignment(chunks.select_columns(["chunk_uid"]), "chunk_uid", args.shards)
-        # join the (shard, pos) layout back onto the chunk payload by the
-        # dense chunk_uid key (both sides populated: safe for Dataset.join)
-        out = chunks.join(
-            placed,
-            join_type="inner",
-            num_partitions=max(2, int(ray.cluster_resources().get("CPU", 4))),
-            on=("chunk_uid",),
+        chunks = chunks.map_batches(_uid, batch_format="pandas")
+        # the (shard, pos) layout carries the chunk payload through its one
+        # shard-keyed shuffle — no Dataset.join (Ray 2.49 join crashes when a
+        # hash partition receives zero rows, e.g. tiny or empty corpora)
+        out = shard_assignment(
+            chunks, "chunk_uid", args.shards,
+            carry_cols=["doc_id", "chunk_id", "n_tokens", "chunk_text"],
         )
         n = out.count()
         out.write_parquet(args.out, partition_cols=["shard"])

@@ -356,6 +356,7 @@ def shard_assignment(
     ds: ray.data.Dataset,
     id_col: str,
     n_shards: int,
+    carry_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Deterministic training-data shuffle: assign every row a shard and a
     position within that shard from a keyed multiplicative hash of
@@ -373,33 +374,46 @@ def shard_assignment(
     100 TB shape: ONE shuffle keyed by shard; each shard is ranked by a
     single vectorized lexsort and is exactly one output partition —
     size ``n_shards`` so a shard fits a task (e.g. 100k shards for
-    10^12 docs), the same knob a partitioned-Parquet sink needs anyway."""
+    10^12 docs), the same knob a partitioned-Parquet sink needs anyway.
+    ``carry_cols`` rides payload columns (e.g. the chunk text) through
+    the same single shuffle, so callers never need a post-hoc join back
+    onto the layout (Ray 2.49 ``Dataset.join`` crashes on empty hash
+    partitions — see NOTES; the carry path avoids it entirely)."""
     MUL, MOD = np.uint64(2654435761), np.uint64(4294967291)
+    carry = list(carry_cols or [])
+    if id_col in carry:
+        raise ValueError(f"shard_assignment: carry_cols must not repeat id_col {id_col!r}")
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy()
         if np.any(np.asarray(ids) < 0):
             raise ValueError("shard_assignment: id_col must be non-negative")
         h = ((ids.astype(np.uint64) % MOD) * MUL) % MOD
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 id_col: ids,
                 "_h": h.astype(np.int64),
                 "shard": (h % np.uint64(n_shards)).astype(np.int64),
             }
         )
+        for c in carry:
+            out[c] = df[c].to_numpy()
+        return out
 
     def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort((g[id_col].to_numpy(), g["_h"].to_numpy()))
         pos = np.empty(len(g), dtype=np.int64)
         pos[order] = np.arange(len(g), dtype=np.int64)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 id_col: g[id_col].to_numpy(),
                 "shard": g["shard"].to_numpy(),
                 "pos": pos,
             }
         )
+        for c in carry:
+            out[c] = g[c].to_numpy()
+        return out
 
     return (
         ds.map_batches(add_shard, batch_format="pandas")

@@ -200,7 +200,14 @@ def avi_encode(frames: np.ndarray, fps: int = 25) -> bytes:
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi = lst(b"movi", b"".join(chunk(b"00db", fb.tobytes()) for fb in frame_bytes))
-    body = b"AVI " + hdrl + movi
+    # real idx1 index (avih sets AVIF_HASINDEX): one AVIIF_KEYFRAME entry per
+    # frame; offsets are relative to the 'movi' fourcc, first chunk at +4
+    pad_frame = frame_size & 1
+    idx_entries = b"".join(
+        struct.pack("<4sII I", b"00db", 0x10, 4 + i * (8 + frame_size + pad_frame), frame_size)
+        for i in range(n)
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx_entries)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -223,16 +230,25 @@ def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not an AVI (RIFF/'AVI ') payload")
     w = h = None
     us_per_frame = 40_000
-    frames_raw: list[bytes] = []
+    stream_types: list[bytes] = []  # strh fccType in stream-id order
+    vid_sid = None
+    frames_raw: list[tuple[int, bytes]] = []
 
     def walk(start: int, end: int):
-        nonlocal w, h, us_per_frame
+        nonlocal w, h, us_per_frame, vid_sid
         for tag, s, e in _riff_chunks(data, start, end):
             if tag == b"LIST":
                 walk(s + 4, e)  # skip the list-kind fourcc
             elif tag == b"avih":
                 (us_per_frame,) = struct.unpack_from("<I", data, s)
+            elif tag == b"strh":
+                stream_types.append(data[s : s + 4])
             elif tag == b"strf":
+                # strf's layout depends on the enclosing strh's fccType: only
+                # a 'vids' strf is a BITMAPINFOHEADER (an 'auds' strf is a
+                # 16-18 byte WAVEFORMATEX — skip it, don't misparse)
+                if not stream_types or stream_types[-1] != b"vids" or w is not None:
+                    continue
                 size, bw, bh, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, s)
                 if comp != 0 or bpp != 24:
                     raise ValueError(
@@ -240,12 +256,19 @@ def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
                         "only uncompressed DIB is decodable in-container"
                     )
                 w, h = bw, abs(bh)
-            elif tag[2:] in (b"db", b"dc") and tag[:2].isdigit():
-                frames_raw.append(data[s:e])
+                vid_sid = len(stream_types) - 1
+            elif tag[2:] in (b"db", b"dc"):
+                try:  # stream ids are TWO HEX digits ('0a..' is stream 10)
+                    sid = int(tag[:2], 16)
+                except ValueError:
+                    continue
+                frames_raw.append((sid, data[s:e]))
 
     walk(12, len(data))
-    if w is None or not frames_raw:
+    frames_vid = [fb for sid, fb in frames_raw if sid == vid_sid]
+    if w is None or not frames_vid:
         raise ValueError("no uncompressed video stream found")
+    frames_raw = frames_vid
     stride = (w * 3 + 3) & ~3
     out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
     for i, fb in enumerate(frames_raw):

@@ -90,3 +90,35 @@ def test_cli_prep(ray_session, tmp_path, capsys):
     assert (df["n_tokens"] <= 64).all() and (df["n_tokens"] > 0).all()
     for _, g in df.groupby("shard"):
         assert sorted(g["pos"].tolist()) == list(range(len(g)))
+
+
+def test_cli_prep_tiny_corpus(ray_session, tmp_path, capsys):
+    # regression: a 2-doc corpus used to crash Ray 2.49 Dataset.join in
+    # acero finalize when a hash partition received zero rows; the layout
+    # now rides shard_assignment's single shuffle (carry_cols), no join
+    import pandas as pd
+    import ray
+
+    docs = str(tmp_path / "tiny.parquet")
+    pd.DataFrame(
+        {"doc_id": [7, 11], "text": ["alpha beta gamma", "delta epsilon"]}
+    ).to_parquet(docs)
+    out = str(tmp_path / "prep_tiny")
+    assert main(["prep", "--docs", docs, "--out", out, "--chunk-size", "2", "--shards", "3"]) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["chunks"] == 3  # ceil(3/2) + ceil(2/2)
+    import pyarrow.dataset as pads
+
+    df = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+    assert len(df) == 3
+    got = df.sort_values(["doc_id", "chunk_id"])["chunk_text"].tolist()
+    assert got == ["alpha beta", "gamma", "delta epsilon"]
+
+
+def test_cli_prep_uid_bounds(ray_session, tmp_path):
+    import pandas as pd
+
+    docs = str(tmp_path / "big_id.parquet")
+    pd.DataFrame({"doc_id": [1 << 43], "text": ["a b"]}).to_parquet(docs)
+    with pytest.raises(Exception, match="2\\^43"):
+        main(["prep", "--docs", docs, "--out", str(tmp_path / "x"), "--chunk-size", "2", "--shards", "2"])

@@ -116,3 +116,61 @@ def test_ngram_jaccard_pairs_match_bruteforce(ray_session, texts, sn, thr):
         assert np.array_equal(got["a"].to_numpy(np.int64), exp["a"].to_numpy(np.int64))
         assert np.array_equal(got["b"].to_numpy(np.int64), exp["b"].to_numpy(np.int64))
         assert np.allclose(got["jaccard"].to_numpy(), exp["jaccard"].to_numpy(), atol=0, rtol=0)
+
+
+def test_avi_idx1_and_audio_stream_skipped():
+    """Encoder writes a real idx1 (AVIF_HASINDEX is honest); decoder parses
+    strf by the enclosing strh fccType, so an AVI that also carries an
+    audio stream (16-byte WAVEFORMATEX strf) still decodes the video, and
+    hex stream ids >= 10 ('0adb') parse instead of being misread."""
+    import struct
+
+    frames = np.arange(2 * 3 * 5 * 3, dtype=np.uint8).reshape(2, 3, 5, 3) % 251
+    data = avi_encode(frames, fps=24)
+    # idx1 present with one keyframe entry per frame, offsets resolving to
+    # the actual '00db' chunks relative to the 'movi' fourcc
+    i = data.index(b"idx1")
+    (isz,) = struct.unpack_from("<I", data, i + 4)
+    assert isz == 16 * 2
+    movi = data.index(b"movi")
+    for k in range(2):
+        cc, flags, off, sz = struct.unpack_from("<4sIII", data, i + 8 + 16 * k)
+        assert cc == b"00db" and flags == 0x10
+        assert data[movi + off : movi + off + 4] == b"00db"
+        (csz,) = struct.unpack_from("<I", data, movi + off + 4)
+        assert csz == sz
+
+    # build a synthetic AVI: audio strl FIRST (strf = WAVEFORMATEX, 16 bytes),
+    # then the video strl, with the video data chunks under stream id 0x0a
+    def chunk(tag, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind, payload):
+        return chunk(b"LIST", kind + payload)
+
+    h, w = 3, 5
+    stride = (w * 3 + 3) & ~3
+    frame_size = h * stride
+    avih = struct.pack("<IIIIIIIIII4I", 40000, 0, 0, 0, 2, 0, 2, frame_size, w, h, 0, 0, 0, 0)
+    strh_a = struct.pack("<4s4sIIIIIIIIII4H", b"auds", b"\x01\x00\x00\x00", 0, 0, 0, 1,
+                         8000, 0, 16000, 2, 0xFFFFFFFF, 0, 0, 0, 0, 0)
+    strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)  # WAVEFORMATEX, 16 bytes
+    strh_v = struct.pack("<4s4sIIIIIIIIII4H", b"vids", b"DIB ", 0, 0, 0, 1, 24, 0, 2,
+                         frame_size, 0xFFFFFFFF, 0, 0, 0, w, h)
+    strf_v = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+               + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v)))
+    bgr = frames[:, ::-1, :, ::-1]
+    rows = np.zeros((2, h, stride), dtype=np.uint8)
+    rows[:, :, : w * 3] = bgr.reshape(2, h, w * 3)
+    movi_body = b"".join(chunk(b"01db", fb.tobytes()) for fb in rows.reshape(2, -1))
+    movi_body += chunk(b"00wb", b"\x00\x00\x00\x00")  # audio data chunk (stream 0)
+    movi_body += chunk(b"0adb", b"\x00\x00\x00\x00")  # hex stream id 10: parsed, ignored
+    body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    synthetic = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    got, fps = avi_decode(synthetic)
+    assert fps == 25
+    assert np.array_equal(got, frames)
