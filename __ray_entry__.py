@@ -1418,6 +1418,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         top_customers,
     )
 
+    # ORDERING CONTRACT (r5): the driver sweeps the FIRST 50 keys only.
+    # Rounds 2-4 left 9 queries without a driver row in ANY round; this
+    # round rotates them (temporal trio, media trio, curated_corpus,
+    # sample_docs_per_lang, approx_distinct) plus the 13 queries green in
+    # r02/r03 but outside the r04 window INTO the first 50, and rotates
+    # OUT 22 textops queries already triple-green in r04 (most also in
+    # r02/r03). The rotated-out 22 stay in the contract past position 50
+    # and are re-verified every round via tools/check_contract.py (full
+    # 72-query replay at sf0.001 + sf0.01); rotation listed in NOTES_r5.md.
     return {
         # graph construction + analytics (SURVEY §2.2, §2.7)
         "edges_build": _q_edges_build,
@@ -1447,7 +1456,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_anchor_profiles": _q_page_anchor_profiles,
         "host_edges_synth": _q_host_edges,
         "host_pagerank_synth": _q_host_pagerank,
-        # training-data ops (build brief)
+        # temporal/relational + curation + media: never driver-swept in
+        # r02-r04 (sat past position 50) — in-window this round
+        "curated_corpus": _q_curated_corpus,
+        "sessionize_events": _q_sessionize,
+        "asof_purchase_click": _q_asof,
+        "range_join_error_purchases": _q_range_join,
+        "sample_docs_per_lang": lambda sf: sample_docs_per_lang(sf),
+        # rows-only: HLL sketch (deterministic); accuracy pytest-verified
+        "approx_distinct_users_per_event_type": lambda sf: approx_distinct_users_per_event_type(sf),
+        # multimodal: REAL in-container codecs (stdlib PNG/WAV/AVI) through
+        # the actor-pool decode stages; self-checking round-trips, rows-only
+        "media_image_features": _q_media_image_features,
+        "media_audio_features": _q_media_audio_features,
+        "media_video_frames": _q_media_video_frames,
+        # ANN + embedding ops (green r02/r03, outside the r04 window)
+        "knn_lsh_top5": _q_knn_lsh,
+        "knn_ivf_top5": _q_knn_ivf,
+        "embedding_label_counts": _q_emb_labels,
+        "embedding_near_dup_pairs": _q_emb_near_dup,
+        # relational surface (green r02/r03, outside the r04 window)
+        "pricing_summary": lambda sf: pricing_summary(sf),
+        "revenue_per_nation": lambda sf: revenue_per_nation(sf),
+        "top_customers": lambda sf: top_customers(sf),
+        "events_hourly_window": lambda sf: events_hourly_window(sf),
+        "events_hopping_window": lambda sf: events_hopping_window(sf),
+        "customers_without_events": lambda sf: customers_without_events(sf),
+        "distinct_users_per_event_type": lambda sf: distinct_users_per_event_type(sf),
+        "value_quantiles_per_event_type": lambda sf: value_quantiles_per_event_type(sf),
+        "filter_pushdown_scan": lambda sf: filter_pushdown_scan(sf),
+        # newly-oracled (r5) / re-architected (r5) ops: need fresh driver rows
+        "langid_pred": _q_langid,
+        "doc_fingerprints": _q_fingerprints,
+        "khop_neighbors": _q_khop_neighbors,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        # ---- position 51+ (past the driver window this round): all 22
+        # below are triple-green in CORRECTNESS_r04 (and most in r02/r03),
+        # re-verified each round by tools/check_contract.py ----
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_token_counts": _q_doc_tokens,
         "doc_char_digit_counts": _q_doc_chars,
@@ -1461,46 +1506,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": _q_pii_redaction,
         "chunk_documents": _q_chunk_documents,
         "shard_assignment": _q_shard_assignment,
-        "khop_neighbors": _q_khop_neighbors,
         "skipgram_pairs": _q_skipgram_pairs,
         "lang_counts": _q_lang_counts,
         "source_stats": _q_source_stats,
-        "langid_pred": _q_langid,
-        "doc_fingerprints": _q_fingerprints,
         "minhash_pairs": _q_minhash_pairs,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
         # rows-only but self-checking: containment + banding-recall vs exact
         "minhash_recall_vs_exact": _q_minhash_recall_vs_exact,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "simhash_pairs": _q_simhash_pairs,
         "near_dedup_keep": _q_near_dedup,
         "knn_cosine_top5": _q_knn,
-        "knn_lsh_top5": _q_knn_lsh,
-        "knn_ivf_top5": _q_knn_ivf,
-        "embedding_label_counts": _q_emb_labels,
-        "embedding_near_dup_pairs": _q_emb_near_dup,
-        # relational surface (joins/aggregates/top-k/window)
-        "pricing_summary": lambda sf: pricing_summary(sf),
-        "revenue_per_nation": lambda sf: revenue_per_nation(sf),
-        "top_customers": lambda sf: top_customers(sf),
-        "events_hourly_window": lambda sf: events_hourly_window(sf),
-        "events_hopping_window": lambda sf: events_hopping_window(sf),
-        "customers_without_events": lambda sf: customers_without_events(sf),
-        "distinct_users_per_event_type": lambda sf: distinct_users_per_event_type(sf),
-        "value_quantiles_per_event_type": lambda sf: value_quantiles_per_event_type(sf),
-        "sample_docs_per_lang": lambda sf: sample_docs_per_lang(sf),
-        # rows-only: HLL sketch (deterministic); accuracy pytest-verified
-        "approx_distinct_users_per_event_type": lambda sf: approx_distinct_users_per_event_type(sf),
-        "curated_corpus": _q_curated_corpus,
-        "sessionize_events": _q_sessionize,
-        "asof_purchase_click": _q_asof,
-        "range_join_error_purchases": _q_range_join,
-        "filter_pushdown_scan": lambda sf: filter_pushdown_scan(sf),
-        # multimodal: REAL in-container codecs (stdlib PNG/WAV) through the
-        # actor-pool decode stages; self-checking round-trips, rows-only
-        "media_image_features": _q_media_image_features,
-        "media_audio_features": _q_media_audio_features,
-        "media_video_frames": _q_media_video_frames,
     }
 
 
