@@ -164,7 +164,12 @@ def run_benchmarks() -> dict:
     bs = rng.integers(0, V2, E2)
     bd = rng.integers(0, V2, E2)
     bw = rng.random(E2) + 0.5
-    with Graph.from_arrays(bs, bd, num_parts=NUM_CPUS, v_num=V2, weight=bw) as gb:
+    # 3/4 of the CPUs: leaving headroom for the driver + raylet measured
+    # FASTER than P=NUM_CPUS for every leg on this graph (r5 A/B: deepwalk
+    # mesh 26.5M vs 18.7M walked-edges/s, PageRank 518M vs 425M
+    # edges/s/superstep at 32 cpus) — the same principle as the reference
+    # running 16 walker threads on its 28-core nodes (paper §7.1)
+    with Graph.from_arrays(bs, bd, num_parts=max(4, NUM_CPUS * 3 // 4), v_num=V2, weight=bw) as gb:
         # float32 ranks: the sweep is DRAM-bandwidth-bound; float32
         # halves traffic, accumulation stays float64 (error ~1e-7
         # relative, inside the allclose 1e-6 rule). Oracle queries

@@ -138,6 +138,21 @@ def _concat(batches: list[dict]) -> dict:
     return {k: np.concatenate([b[k] for b in batches]) for k in keys}
 
 
+# Broadcast-bundle mesh transport (r5). The per-target envelope API
+# (walk_step / n2v_step) returns P+1 objects per sender per wave; small
+# returns are funneled through the DRIVER's in-process store, so a wave
+# moves O(P^2) driver-mediated objects — measured to dominate sharded-walk
+# wall time at frontier scale (the r4 per-core gap). The _b variants
+# instead return ONE target-major bundle per sender ({"data": columns,
+# "_bounds": per-target offsets}) + a tiny meta dict; the driver
+# broadcasts the same P bundle refs to every next-wave task, each receiver
+# slices out rows [_bounds[me], _bounds[me+1]) zero-copy from the
+# node-local plasma object. Per-target ARRAYS are byte-identical to the
+# per-target transport, so keyed-RNG replay, checkpoints and the
+# replicated/sharded parity fuzz are unaffected. Tail-sized bundles ride
+# the driver path like any small return — still P objects, not P^2.
+
+
 class WalkMixin:
     # ------------------------------------------------------------------ #
     def walk_begin(self, spec: dict, seed: int, collect_paths: bool = True):
@@ -271,6 +286,7 @@ class WalkMixin:
         import pyarrow as pa
 
         nw = int(nw)
+        incoming = [self._slice_mine(b) for b in incoming]
         fr = self._frontier if self._frontier else {}
         fr_tbl = pa.table({k: pa.array(np.asarray(v)) for k, v in fr.items()})
         pend_batches = [b for b in incoming[:nw] if b is not None and len(b.get("wid", ()))]
@@ -308,7 +324,9 @@ class WalkMixin:
         queries, and dump via the shared snapshot path (walkers under
         "pending" with their piggybacked adjacency under "pending_adj",
         queries under "parked")."""
-        inc = _concat([b for b in batches if b is not None and len(b.get("wid", ()))])
+        inc = _concat(
+            [b for b in (self._slice_mine(x) for x in batches) if b is not None and len(b.get("wid", ()))]
+        )
         wb, qb = [], []
         if inc and len(inc.get("wid", ())):
             is_q = inc["cand"] >= 0
@@ -420,16 +438,48 @@ class WalkMixin:
         return np.clip(pos, base, self.csr.indptr[cur_local + 1] - 1)
 
     # ---------------------- first-order superstep ---------------------- #
+    def _slice_mine(self, b):
+        """Incoming may be a broadcast bundle addressed to ALL shards:
+        slice out the rows addressed to this one (zero-copy views into the
+        node-local plasma buffer). Plain dict envelopes pass through."""
+        if not isinstance(b, dict) or "_bounds" not in b:
+            return b
+        s, e = int(b["_bounds"][self.part_id]), int(b["_bounds"][self.part_id + 1])
+        if e <= s:
+            return None
+        env = {k: v[s:e] for k, v in b["data"].items()}
+        if "padj" in b:
+            ao = b["_padj_off"]
+            env["padj"] = b["padj"][int(ao[s]) : int(ao[e])]
+        return env
+
+    def walk_step_b(self, superstep: int, *bundles):
+        """Broadcast-bundle superstep: same kernel as walk_step, but takes
+        every sender's full bundle (slicing out this shard's rows) and
+        returns (bundle, meta) — 2 objects per sender per wave, not P+1."""
+        out, meta = self._walk_step_core(superstep, [self._slice_mine(b) for b in bundles])
+        present = [p for p, s in enumerate(meta["sizes"]) if s]
+        if not present:
+            return None, meta
+        keys = list(out[present[0]].keys())
+        data = {k: np.concatenate([out[p][k] for p in present]) for k in keys}
+        bounds = np.concatenate([[0], np.cumsum(meta["sizes"])]).astype(np.int64)
+        return {"data": data, "_bounds": bounds}, meta
+
     def walk_step(self, superstep: int, *incoming):
         """Process all local walkers to termination or emigration.
         Returns P per-partition emigrant batches + moved count."""
+        out, meta = self._walk_step_core(superstep, incoming)
+        return (*out, meta)
+
+    def _walk_step_core(self, superstep: int, incoming):
         spec = self._wspec
         kind = spec["kind"]
         W = self._take_frontier(incoming)
         out_chunks: list[list[dict]] = [[] for _ in range(self.num_parts)]
         if not W:
             return (
-                *[_EMPTY() for _ in range(self.num_parts)],
+                [_EMPTY() for _ in range(self.num_parts)],
                 {"moved": 0, "sizes": [0] * self.num_parts},
             )
         wid, step, cur = W["wid"], W["step"], W["cur"]
@@ -578,7 +628,7 @@ class WalkMixin:
         # sizes let the driver prune empty refs: tail supersteps with a
         # handful of live walkers touch only the shards that hold them
         # (the reference's small-frontier "light mode", constants.hpp:41)
-        return (*out, {"moved": moved, "sizes": [int(len(c["wid"])) for c in out]})
+        return out, {"moved": moved, "sizes": [int(len(c["wid"])) for c in out]}
 
     # ---------------------- second order (node2vec) --------------------- #
     def n2v_step(self, superstep: int, *batches):
@@ -605,6 +655,9 @@ class WalkMixin:
         frontier-sized ones go through plasma by reference.
 
         Returns (P per-target envelopes..., counts)."""
+        return self._n2v_emit(self._n2v_step_core(superstep, batches))
+
+    def _n2v_step_core(self, superstep: int, batches):
         spec = self._wspec
         P = self.num_parts
         counts = {"moved": 0, "parked": 0, "n_out": 0}
@@ -912,7 +965,7 @@ class WalkMixin:
                     "_tgt": part_of(pw[3], self.boundaries),
                 }
             )
-        out: list = [None] * P
+        data = padj_sorted = padj_off = bounds = None
         total = 0
         if chunks:
             allr = _concat(chunks)
@@ -928,15 +981,40 @@ class WalkMixin:
             padj_sorted = padj_all[_ragged_idx(starts_u[order], data["pdeg"])]
             padj_off = np.concatenate([[0], np.cumsum(data["pdeg"])])
             bounds = np.searchsorted(tgt[order], np.arange(P + 1))
+        counts["moved"] = moved
+        counts["n_out"] = total
+        return data, padj_sorted, padj_off, bounds, counts
+
+    def _n2v_emit(self, packed):
+        """Per-target envelope formatting of a packed wave (P+1 returns)."""
+        data, padj_sorted, padj_off, bounds, counts = packed
+        P = self.num_parts
+        out: list = [None] * P
+        if data is not None:
             for p in range(P):
                 s, e = int(bounds[p]), int(bounds[p + 1])
                 if e > s:
                     env = {k: v[s:e] for k, v in data.items()}
                     env["padj"] = padj_sorted[int(padj_off[s]) : int(padj_off[e])]
                     out[p] = env
-        counts["moved"] = moved
-        counts["n_out"] = total
         return (*out, counts)
+
+    def _n2v_emit_b(self, packed):
+        """Broadcast-bundle formatting of a packed wave (2 returns)."""
+        data, padj_sorted, padj_off, bounds, counts = packed
+        if data is None:
+            return None, counts
+        return (
+            {"data": data, "padj": padj_sorted, "_padj_off": padj_off, "_bounds": bounds},
+            counts,
+        )
+
+    def n2v_step_b(self, superstep: int, *bundles):
+        """Broadcast-bundle second-order superstep: every sender's bundle
+        comes in (this shard slices its rows), ONE bundle + meta go out."""
+        return self._n2v_emit_b(
+            self._n2v_step_core(superstep, [self._slice_mine(b) for b in bundles])
+        )
 
     def _n2v_ub(self) -> float:
         spec = self._wspec

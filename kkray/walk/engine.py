@@ -269,22 +269,26 @@ def _drive_first_order_windowed(
     their tail is unbounded, so unpruned windows would burn O(P) no-op
     tasks per wave for the whole tail."""
     superstep = start_ss
-    w_in: list[list] = [[] for _ in range(P)]
-    K = max(1, int(checkpoint_every)) if checkpoint is not None else 16
+    # broadcast-bundle mesh: each wave is P walk_step_b tasks; every task
+    # consumes the SAME P bundle refs from the previous wave (one per
+    # sender, plasma-backed at frontier scale) and returns (bundle, meta)
+    # — O(P) objects per wave instead of O(P^2) driver-funneled envelopes
+    w_in: list = []
+    K = max(1, int(checkpoint_every)) if checkpoint is not None else int(__import__("os").environ.get("KKRAY_WALK_WINDOW", "16"))
     while superstep < max_supersteps:
         window = min(K, max_supersteps - superstep)
         last = None
         for _ in range(window):
             refs = {
-                p: actors[p].walk_step.options(num_returns=P + 1).remote(superstep, *w_in[p])
+                p: actors[p].walk_step_b.options(num_returns=2).remote(superstep, *w_in)
                 for p in range(P)
             }
-            w_in = [[refs[p][q] for p in range(P)] for q in range(P)]
+            w_in = [refs[p][0] for p in range(P)]
             last = refs
             superstep += 1
         if checkpoint is not None and superstep % checkpoint_every == 0:
-            _ckpt_walk(actors, checkpoint, w_in, P, superstep)
-        metas = ray.get([last[p][P] for p in range(P)])
+            _ckpt_walk(actors, checkpoint, [list(w_in) for _ in range(P)], P, superstep)
+        metas = ray.get([last[p][1] for p in range(P)])
         if all(not any(m["sizes"]) for m in metas):
             break
 
@@ -339,31 +343,34 @@ def _drive_second_order(
     in the retry tail; long-tail geometric walks keep the pruned
     per-superstep first-order driver instead."""
     superstep = start_ss
-    w_in: list[list] = [[] for _ in range(P)]
+    # broadcast-bundle mesh (see _drive_first_order_windowed): every wave's
+    # P n2v_step_b tasks consume the same P sender bundles and return
+    # (bundle, counts) — O(P) objects per wave, not O(P^2)
+    w_in: list = []
     # resume: restored pending walker/query rows live shard-side and are
     # consumed by the first wave automatically (nothing to replay — query
     # resolution is RNG-free and happens inside the normal step)
-    K = max(1, int(checkpoint_every)) if checkpoint is not None else 16
+    K = max(1, int(checkpoint_every)) if checkpoint is not None else int(__import__("os").environ.get("KKRAY_WALK_WINDOW", "16"))
     while superstep < max_supersteps:
         window = min(K, max_supersteps - superstep)
         last = None
         for _ in range(window):
             refs = {
-                p: actors[p].n2v_step.options(num_returns=P + 1).remote(superstep, *w_in[p])
+                p: actors[p].n2v_step_b.options(num_returns=2).remote(superstep, *w_in)
                 for p in range(P)
             }
-            w_in = [[refs[p][q] for p in range(P)] for q in range(P)]
+            w_in = [refs[p][0] for p in range(P)]
             last = refs
             superstep += 1
         if checkpoint is not None and superstep % checkpoint_every == 0:
-            dumps = ray.get([a.n2v_ckpt_dump.remote(*w_in[p]) for p, a in enumerate(actors)])
+            dumps = ray.get([a.n2v_ckpt_dump.remote(*w_in) for a in actors])
             checkpoint.save_tables(
                 superstep,
                 [d[0] for d in dumps],
                 metrics={"nsteps": [int(d[1]) for d in dumps]},
                 lineage={"op": "walk", "next_superstep": int(superstep), "num_parts": P},
             )
-        counts = ray.get([last[p][P] for p in range(P)])
+        counts = ray.get([last[p][1] for p in range(P)])
         if all(c["n_out"] == 0 for c in counts):
             break
 
