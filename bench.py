@@ -228,6 +228,20 @@ def run_benchmarks() -> dict:
             extras["lp_synth_edges_per_sec_per_superstep"] = round(
                 E2 / (queries["lp_synth"] / 3), 0
             )
+            # GraphSAGE 3-hop fanout sampling served from the resident CSR
+            # shards (owner-routed frontier probes — no edge-table rescan
+            # per hop, the r4 VERDICT's khop scale fix); ~10K seeds expand
+            # to ~1M sampled edges
+            from kkray.graph import khop_neighbors_graph
+
+            khop_rows = timed_best(
+                "khop_synth",
+                lambda: khop_neighbors_graph(
+                    gb, np.arange(0, V2, V2 // 10_000), [10, 10, 10], mode="uniform", rng_seed=7
+                ).count(),
+                reps=2,
+            )
+            extras["khop_synth_sampled_edges"] = int(khop_rows)
     extras["pagerank_synth_edges_per_sec_per_superstep"] = round(E2 / (queries["pagerank_synth"] / 10), 0)
     extras["pagerank_w_synth_edges_per_sec_per_superstep"] = round(E2 / (queries["pagerank_w_synth"] / 10), 0)
     with WalkerPool.from_arrays(

