@@ -611,34 +611,30 @@ def _q_extract_text(sf_dir: str):
 def _q_page_anchors(sf_dir: str):
     """Anchor-text corpus from the synth pages (the classic web ranking /
     retrieval training signal): exploded (src_url, dst_url, anchor) rows
-    via the frozen extract_anchors spec. Self-checking: every row is
-    compared against the generator's independently-recorded ground truth
-    (anchors recorded before HTML escaping/rendering — the extractor must
-    recover them through entity unescape + tag strip), reported per-row
-    as manifest_match."""
+    via the frozen extract_anchors spec. Oracled against the generator's
+    INDEPENDENTLY-recorded ground truth (anchors captured before HTML
+    escaping/rendering — the extractor must recover them through entity
+    unescape + tag strip), persisted as
+    fixtures/anchor_manifest_1000_seed42.parquet; a pytest asserts the
+    fixture equals a fresh regeneration, so drift is caught."""
     import ray.data
     from kkray.io.extract import ExtractAnchors
     from kkray.io.synth import synth_pages
 
-    pages_tbl, meta = synth_pages(1000, seed=42)
+    pages_tbl, _ = synth_pages(1000, seed=42)
     pages = ray.data.from_arrow(pages_tbl.drop_columns(["text"]))
     out = pages.map_batches(ExtractAnchors, batch_format="pyarrow", concurrency=4).to_pandas()
-    out = out.sort_values(["src_url", "dst_url", "anchor"], kind="stable").reset_index(drop=True)
-    exp = pd.DataFrame(meta.expected_anchors, columns=["src_url", "dst_url", "anchor"]).sort_values(
+    return out[["src_url", "dst_url", "anchor"]].sort_values(
         ["src_url", "dst_url", "anchor"], kind="stable"
     ).reset_index(drop=True)
-    if len(out) == len(exp):
-        out["manifest_match"] = out[["src_url", "dst_url", "anchor"]].eq(exp).all(axis=1)
-    else:
-        out["manifest_match"] = False
-    return out
 
 
 def _q_page_anchor_profiles(sf_dir: str):
     """Per-target anchor-text profile (top-3 anchors by count per
-    linked-to url, ties count DESC then anchor ASC) — rows-only driver
-    check (pages aren't SQL tables); pytest verifies against a pandas
-    brute reference on the same synth corpus."""
+    linked-to url, ties count DESC then anchor ASC) — oracled against the
+    same persisted ground-truth manifest as page_anchor_texts (the SQL
+    recomputes counts + top-3 from the fixture); pytest also verifies
+    against a pandas brute reference on the same synth corpus."""
     import ray.data
     from kkray.io.extract import anchor_profiles
     from kkray.io.synth import synth_pages
@@ -1543,6 +1539,92 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY text""",
+        # the anchor extractor's oracle is the generator's independently
+        # recorded ground truth (anchors captured BEFORE HTML rendering),
+        # persisted to a repo fixture; a pytest pins fixture == fresh
+        # regeneration, so this adjudicates the extractor, not itself
+        "page_anchor_texts": """
+            SELECT src_url, dst_url, anchor
+            FROM '/root/repo/fixtures/anchor_manifest_1000_seed42.parquet'
+            ORDER BY src_url, dst_url, anchor""",
+        "page_anchor_profiles": """
+            WITH counts AS (
+              SELECT dst_url, anchor, count(*) AS n
+              FROM '/root/repo/fixtures/anchor_manifest_1000_seed42.parquet'
+              GROUP BY dst_url, anchor
+            )
+            SELECT dst_url, anchor, n FROM (
+              SELECT dst_url, anchor, n,
+                     row_number() OVER (PARTITION BY dst_url ORDER BY n DESC, anchor ASC) AS rn
+              FROM counts)
+            WHERE rn <= 3 ORDER BY dst_url, anchor""",
+        # stopword-lexicon language vote: exact SQL re-implementation of
+        # LangId (quality.py) — token rule \S+ (RE2 ASCII == _TOK_RE),
+        # argmax tie-break = count DESC then lang ASC, no hits -> 'und'
+        "langid_pred": r"""
+            WITH lex(lang, word) AS (VALUES """ + ", ".join(
+                f"('{lang}','{w}')"
+                for lang, words in (
+                    ("en", ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "with"]),
+                    ("de", ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "von", "zu"]),
+                    ("fr", ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans", "que", "avec"]),
+                    ("es", ["el", "la", "los", "las", "y", "de", "un", "una", "es", "para", "en", "con"]),
+                )
+                for w in words
+            ) + r"""),
+            toks AS (
+              SELECT doc_id, lower(t.tok) AS tok
+              FROM documents, unnest(regexp_extract_all(text, '\S+')) AS t(tok)
+            ),
+            hits AS (
+              SELECT doc_id, lang, count(*) AS n
+              FROM toks JOIN lex ON toks.tok = lex.word GROUP BY doc_id, lang
+            ),
+            best AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS rn
+              FROM hits
+            )
+            SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+            FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+            ORDER BY doc_id""",
+        # 64-bit polynomial rolling hash recomputed from scratch in SQL:
+        # canonical text = \S+ tokens joined by ' ' (Fingerprint's rule),
+        # Horner fold over its UTF-8 bytes (hex(encode()) -> byte list)
+        # with FNV-offset init, then the splitmix64 finalizer. All mod-2^64
+        # arithmetic runs in HUGEINT; the two 64x64-bit splitmix multiplies
+        # are split at 32 bits so no INT128 overflow.
+        "doc_fingerprints": r"""
+            WITH canon AS (
+              SELECT doc_id,
+                     hex(encode(array_to_string(regexp_extract_all(text, '\S+'), ' '))) AS hx
+              FROM documents
+            ),
+            poly AS (
+              SELECT doc_id,
+                list_reduce(
+                  list_prepend(14695981039346656037::HUGEINT,
+                    list_transform(range(1, len(hx)//2 + 1),
+                      i -> ((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16
+                            + strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1)::HUGEINT)),
+                  (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT) AS h
+              FROM canon
+            ),
+            mix1 AS (SELECT doc_id,
+                     (h + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS x
+                     FROM poly),
+            mix2 AS (SELECT doc_id,
+                     ((xor(x::UBIGINT, x::UBIGINT >> 30)::HUGEINT % 4294967296) * 13787848793156543929::HUGEINT
+                      + ((((xor(x::UBIGINT, x::UBIGINT >> 30)::HUGEINT // 4294967296)
+                           * (13787848793156543929::HUGEINT % 4294967296)) % 4294967296) * 4294967296)
+                     ) % 18446744073709551616::HUGEINT AS x FROM mix1),
+            mix3 AS (SELECT doc_id,
+                     ((xor(x::UBIGINT, x::UBIGINT >> 27)::HUGEINT % 4294967296) * 10723151780598845931::HUGEINT
+                      + ((((xor(x::UBIGINT, x::UBIGINT >> 27)::HUGEINT // 4294967296)
+                           * (10723151780598845931::HUGEINT % 4294967296)) % 4294967296) * 4294967296)
+                     ) % 18446744073709551616::HUGEINT AS x FROM mix2)
+            SELECT doc_id, xor(x::UBIGINT, x::UBIGINT >> 31) AS fingerprint
+            FROM mix3 ORDER BY doc_id""",
         "doc_token_counts": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\S+')) AS n_tokens_ws

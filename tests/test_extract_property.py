@@ -98,6 +98,20 @@ def test_extract_anchors_matches_synth_manifest():
     assert got == meta.expected_anchors
 
 
+def test_anchor_manifest_fixture_matches_regeneration():
+    """The persisted fixture behind the page_anchor_texts/_profiles SQL
+    oracles must equal a fresh regeneration of the generator's ground
+    truth — an edited fixture or a drifted generator fails loudly."""
+    import pandas as pd
+
+    from kkray.io.synth import synth_pages
+
+    _, meta = synth_pages(1000, seed=42)
+    exp = pd.DataFrame(meta.expected_anchors, columns=["src_url", "dst_url", "anchor"])
+    fix = pd.read_parquet("/root/repo/fixtures/anchor_manifest_1000_seed42.parquet")
+    pd.testing.assert_frame_equal(fix, exp)
+
+
 @settings(max_examples=120, deadline=None)
 @given(parts=st.lists(FRAGMENTS, min_size=0, max_size=25), base=st.sampled_from(
     ["http://base.com/dir/page.html", "https://B.org:443/", "http://x.com"]))
