@@ -186,15 +186,17 @@ class MinHasher:
         self.a = (rng.integers(1, MERSENNE, num_perm, dtype=np.uint64)) | np.uint64(1)
         self.b = rng.integers(0, MERSENNE, num_perm, dtype=np.uint64)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, t: pa.Table) -> pa.Table:
         # fully vectorized: ONE C-level token explode per batch, per-token
         # siphash via pd.util.hash_pandas_object (stable across processes),
         # shingle hash = splitmix-mix of the n consecutive token hashes
         # (shifted-array combine, masked at doc boundaries), then per-doc
         # segment minima of the (num_perm x shingles) permutation values
         # via minimum.reduceat — no python loop over tokens or shingles.
-        texts = df["text"].fillna("").reset_index(drop=True)
-        ids_in = df["doc_id"].to_numpy()
+        # Arrow in/out: only the text column pays a pandas conversion (the
+        # str kernel needs a Series); ints stay zero-copy both ways.
+        texts = t.column("text").to_pandas().fillna("").reset_index(drop=True)
+        ids_in = t.column("doc_id").to_numpy(zero_copy_only=False)
         n_docs = len(texts)
         sigs = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
         # docs with ZERO shingles (no tokens) emit no bands at all: the
@@ -229,11 +231,11 @@ class MinHasher:
             for bi in range(self.bands):
                 chunk = sigs[:, bi * self.rows : (bi + 1) * self.rows] + np.uint64(bi + 1)
                 band_hash[:, bi] = splitmix64(np.bitwise_xor.reduce(chunk, axis=1))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "band": np.tile(np.arange(self.bands), n_docs),
-                "band_hash": band_hash.ravel(),
-                "doc_id": np.repeat(ids_in, self.bands),
+                "band": pa.array(np.tile(np.arange(self.bands), n_docs)),
+                "band_hash": pa.array(band_hash.ravel()),
+                "doc_id": pa.array(np.repeat(ids_in, self.bands)),
             }
         )
 
@@ -256,7 +258,7 @@ def minhash_lsh_pairs(
     ray.put once and probed per batch (small-side broadcast — the cheap
     correct pattern); above the limit it switches to two hash-partitioned
     Dataset.joins (the >RAM path, no driver materialization)."""
-    exploded = docs.map_batches(MinHasher(num_perm, bands, shingle_n, seed), batch_format="pandas", concurrency=8)
+    exploded = docs.map_batches(MinHasher(num_perm, bands, shingle_n, seed), batch_format="pyarrow", concurrency=8)
     from ..ops import bucket_pairs
 
     cand = bucket_pairs(exploded, ["band", "band_hash"], "doc_id")
@@ -551,8 +553,11 @@ class SimHasher:
     token explode + siphash per batch; bit votes via np.add.at over the
     (token, 64) bit matrix grouped by doc — no per-doc python loop."""
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        texts = df["text"].fillna("").reset_index(drop=True)
+    def __call__(self, t: pa.Table) -> pa.Table:
+        # Arrow in/out: only text pays a pandas conversion (str kernel);
+        # output carries just (doc_id, simhash) so the batch's text never
+        # re-enters the object store (the old df.copy() shipped it on)
+        texts = t.column("text").to_pandas().fillna("").reset_index(drop=True)
         n_docs = len(texts)
         split = texts.str.findall(_TOK_RE)
         ex = split.explode().dropna()
@@ -568,48 +573,54 @@ class SimHasher:
                 sigs = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
             # empty docs keep signature 0 (no tokens -> no votes) — same
             # as the previous per-doc rule
-        out = df.copy()
-        out["simhash"] = sigs
-        return out
+        return pa.table({"doc_id": t.column("doc_id"), "simhash": pa.array(sigs)})
 
 
 def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Dataset:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4 x 16-bit
     chunks (any exact chunk match -> candidate, catches all pairs with
     hamming <= 3), verify true Hamming distance."""
-    sigs = docs.map_batches(SimHasher(), batch_format="pandas", concurrency=8).select_columns(["doc_id", "simhash"])
+    sigs = docs.map_batches(SimHasher(), batch_format="pyarrow", concurrency=8)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["simhash"].to_numpy(dtype=np.uint64)
-        did = df["doc_id"].to_numpy()
+    def explode(t: pa.Table) -> pa.Table:
+        s = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
         shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
         vals = ((s[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)).astype(np.int64)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "chunk": np.tile(np.arange(4, dtype=np.int64), len(s)),
-                "chunk_val": vals.ravel(),
-                "doc_id": np.repeat(did, 4),
-                "simhash": np.repeat(s, 4),
+                "chunk": pa.array(np.tile(np.arange(4, dtype=np.int64), len(s))),
+                "chunk_val": pa.array(vals.ravel()),
+                "doc_id": pa.array(np.repeat(did, 4)),
+                "simhash": pa.array(np.repeat(s, 4)),
             }
         )
 
-    exploded = sigs.map_batches(explode, batch_format="pandas")
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
     from ..ops import bucket_pairs
 
     cand = bucket_pairs(exploded, ["chunk", "chunk_val"], "doc_id", payload_col="simhash")
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        x = df["payload_a"].to_numpy(dtype=np.uint64) ^ df["payload_b"].to_numpy(dtype=np.uint64)
+    def verify(t: pa.Table) -> pa.Table:
+        x = t.column("payload_a").to_numpy(zero_copy_only=False).astype(np.uint64) ^ t.column(
+            "payload_b"
+        ).to_numpy(zero_copy_only=False).astype(np.uint64)
         ham = np.zeros(len(x), dtype=np.int64)
         v = x.copy()
         for _ in range(64):  # vectorized popcount
             ham += (v & np.uint64(1)).astype(np.int64)
             v >>= np.uint64(1)
-        out = pd.DataFrame({"a": df["a"], "b": df["b"], "hamming": ham})
-        return out[out["hamming"] <= max_hamming]
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(t.column("a").to_numpy(zero_copy_only=False)[keep]),
+                "b": pa.array(t.column("b").to_numpy(zero_copy_only=False)[keep]),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
 
     return _union_typed_empty(
-        cand.map_batches(verify, batch_format="pandas"),
+        cand.map_batches(verify, batch_format="pyarrow"),
         a="int64", b="int64", hamming="int64",
     )
 
