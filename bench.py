@@ -218,6 +218,57 @@ def run_benchmarks() -> dict:
             extras["node2vec_sharded_synth_walked_edges_per_sec"] = round(
                 gb_steps() / queries["node2vec_sharded_synth"], 0
             )
+            # checkpoint/resume soak AT SCALE (north_rule: every iteration
+            # checkpoints, runs resume mid-superstep): a sharded node2vec
+            # run on this 64M-edge graph is cut at wave 9 (simulated kill
+            # via the max_supersteps bound; checkpoint committed at wave
+            # 6), resumed from the manifest, and the resumed run's
+            # order-free footprint hash must equal the uninterrupted
+            # run's EXACTLY — the bit-identical-resume claim at the scale
+            # it matters (small-graph random-kill fuzz: test_ckpt_property)
+            import shutil
+            import tempfile
+
+            from kkray.ckpt import CheckpointManager
+            from kkray.walk.engine import random_walk
+            from kkray.walk.spec import Node2vecSpec, WalkerSpec
+
+            def fp_hash(ds):
+                import pyarrow as pa
+
+                from kkray.utils import splitmix64
+
+                def h(t: "pa.Table") -> "pa.Table":
+                    w = t.column("walker_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+                    s = t.column("step").to_numpy(zero_copy_only=False).astype(np.uint64)
+                    v = t.column("vertex").to_numpy(zero_copy_only=False).astype(np.uint64)
+                    with np.errstate(over="ignore"):
+                        hv = splitmix64(
+                            w * np.uint64(0x9E3779B97F4A7C15)
+                            ^ s * np.uint64(0xBF58476D1CE4E5B9)
+                            ^ v
+                        )
+                        tot = np.uint64(hv.sum())  # mod-2^64 wrap: order-free
+                    return pa.table({"h": pa.array([tot]), "n": pa.array([len(w)], pa.int64())})
+
+                out = ds.map_batches(h, batch_format="pyarrow").to_pandas()
+                with np.errstate(over="ignore"):
+                    return int(out["h"].to_numpy().astype(np.uint64).sum()), int(out["n"].sum())
+
+            sws = WalkerSpec(200_000, "equal")
+            sts = Node2vecSpec(p=2.0, q=0.5, length=24)
+            with timed("n2v_resume_soak_synth"):
+                full_h = fp_hash(random_walk(gb, sws, sts, seed=99, return_dataset=True))
+                ckdir = tempfile.mkdtemp(prefix="kkray_soak_")
+                ck = CheckpointManager(ckdir, "n2v_soak")
+                random_walk(gb, sws, sts, seed=99, checkpoint=ck, checkpoint_every=6, max_supersteps=9)
+                res_h = fp_hash(
+                    random_walk(gb, sws, sts, seed=99, checkpoint=ck, resume=True, return_dataset=True)
+                )
+                assert res_h == full_h, f"resume soak mismatch: {res_h} != {full_h}"
+                shutil.rmtree(ckdir, ignore_errors=True)
+            extras["n2v_resume_soak_rows"] = int(full_h[1])
+            extras["n2v_resume_soak_match"] = 1
             # CC + LP at amortizing scale (the sf0.1 legs run on a 2.4M-edge
             # graph): min-label flood with the delta frontier, and 3 sparse
             # (dst,label,count)-combined LP supersteps over the 64M edges
