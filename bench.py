@@ -275,7 +275,12 @@ def run_benchmarks() -> dict:
             from kkray.analytics import label_propagation
 
             timed_best("cc_synth", lambda: connected_components(gb), reps=2)
-            timed_best("lp_synth", lambda: label_propagation(gb, iters=3), reps=2)
+            # reps=3: LP's O(E)-triples-per-superstep plasma transport pays a
+            # per-session page-fault warmup (isolated r5 measurement: reps
+            # decay 24 -> 21 -> 9 -> 6 s with ZERO host steal, converging to
+            # the steady-state ~6 s); min-of-3 reaches the steady state the
+            # leg's edges/s/superstep rate claims to measure
+            timed_best("lp_synth", lambda: label_propagation(gb, iters=3), reps=3)
             extras["lp_synth_edges_per_sec_per_superstep"] = round(
                 E2 / (queries["lp_synth"] / 3), 0
             )
@@ -370,7 +375,10 @@ def run_benchmarks() -> dict:
         # the engine's routed-exchange assembly (sharded-graph path):
         # split by walker hash, reduce + lexsort per bucket
         extras["path_assembly_rows"] = timed_best(
-            "path_assembly", lambda: assemble_footprint_refs(refs).count(), reps=2
+            # reps=3: same plasma-page warmup as lp_synth (r4 profile:
+            # isolated same-size assembly runs 2.3-3.5 s; in-bench first
+            # reps routinely 2-4x that)
+            "path_assembly", lambda: assemble_footprint_refs(refs).count(), reps=3
         )
         t0 = time.perf_counter()
         assemble_paths(fp_ds, colocated=True).count()
