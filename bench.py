@@ -702,14 +702,17 @@ def run_scaling(repeat: int = 2, mid: bool = False) -> dict:
     }
 
 
-def _emit(result: dict, path: str) -> None:
+def _emit(result: dict, path: str, force: bool = False) -> None:
     """Write the FULL result to `path`, then print ONE compact JSON line.
 
     The driver records only the last N bytes of stdout; BENCH_r04 lost the
     first half of its (verbose) result line that way. The stdout line now
     carries metric/value/queries only (2-decimal), small enough to survive
     any tail capture; extras/env/roofline detail live in the artifact file."""
-    if not CORE_ONLY:  # scaling's CORE-mode child runs must not clobber the artifact
+    # CORE_ONLY children of --scaling must not clobber BENCH_LATEST.json,
+    # but the --scaling PARENT (force=True) always writes its artifact —
+    # KKRAY_BENCH_CORE=1 in the parent environment used to suppress it
+    if force or not CORE_ONLY:
         with open(path, "w") as f:
             json.dump(result, f, indent=1)
     queries = result.get("queries") or result.get("queries_32") or {}
@@ -731,6 +734,6 @@ def _emit(result: dict, path: str) -> None:
 if __name__ == "__main__":
     here = os.path.dirname(os.path.abspath(__file__))
     if "--scaling" in sys.argv:
-        _emit(run_scaling(mid="--mid" in sys.argv), os.path.join(here, "BENCH_SCALING_LATEST.json"))
+        _emit(run_scaling(mid="--mid" in sys.argv), os.path.join(here, "BENCH_SCALING_LATEST.json"), force=True)
     else:
         _emit(run_benchmarks(), os.path.join(here, "BENCH_LATEST.json"))

@@ -47,9 +47,13 @@ def label_propagation(
             a0 = actors[0]
             changed = [ray.get(a0.lp_gather_packed.remote(a0.lp_scatter.remote(href)))]
         else:
-            scat = [a.lp_scatter.options(num_returns=P).remote(href) for a in actors]
+            # broadcast bundles: ONE target-major object per sender per
+            # superstep (O(P) driver-mediated refs, not O(P^2)) with
+            # 32-bit ids where the graph allows — the walk mesh's r5
+            # transport applied to LP's (dst,label,count) exchange
+            bundles = [a.lp_scatter_bundle.remote(href) for a in actors]
             changed = ray.get(
-                [actors[p].lp_gather.remote(*[scat[q][p] for q in range(P)]) for p in range(P)]
+                [actors[p].lp_gather_bundles.remote(p, *bundles) for p in range(P)]
             )
         if checkpoint is not None and it % checkpoint_every == 0:
             parts = ray.get([a.lp_get.remote() for a in actors])

@@ -586,6 +586,38 @@ class ShardCore(WalkMixin):
     def lp_gather_packed(self, packed) -> int:
         return self.lp_gather(*packed)
 
+    def lp_scatter_bundle(self, hub_labels: np.ndarray | None = None):
+        """Target-major broadcast bundle — the same O(P)-objects-per-wave
+        transport the walk mesh uses (shard_walk `_bundle`): ONE
+        (d, l, c, bounds) object for ALL receivers; receiver p slices rows
+        [bounds[p], bounds[p+1]). Halves transport bytes vs the per-target
+        int64 triples when the graph fits 32-bit ids (d is a local index
+        < partition size, l is a vertex id < v_num, c is a per-sender
+        multiplicity — each checked, int64 fallback)."""
+        parts = self.lp_scatter(hub_labels)
+        d = np.concatenate([p[0] for p in parts])
+        l = np.concatenate([p[1] for p in parts])
+        c = np.concatenate([p[2] for p in parts])
+        bounds = np.zeros(self.num_parts + 1, dtype=np.int64)
+        np.cumsum([len(p[0]) for p in parts], out=bounds[1:])
+        if self.v_num < (1 << 31):
+            d = d.astype(np.int32)
+            l = l.astype(np.int32)
+        if len(c) == 0 or int(c.max()) < (1 << 31):
+            c = c.astype(np.int32)
+        return d, l, c, bounds
+
+    def lp_gather_bundles(self, p: int, *bundles) -> int:
+        """Merge this partition's slice of every sender's broadcast bundle
+        (counts upcast to int64 — cross-sender totals are in-degree-bounded,
+        which can exceed 2^31 even when each sender's multiplicity fits)."""
+        return self.lp_gather(
+            *[
+                (d[bounds[p] : bounds[p + 1]], l[bounds[p] : bounds[p + 1]], c[bounds[p] : bounds[p + 1]].astype(np.int64))
+                for d, l, c, bounds in bundles
+            ]
+        )
+
     def lp_gather(self, *partials) -> int:
         """Merge (dst,label,count) partials; per dst adopt argmax-count
         label, ties -> smallest label; isolated vertices keep their label.
