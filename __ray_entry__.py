@@ -171,6 +171,74 @@ SELECT v AS partkey, ROUND(score*(SELECT cnt FROM nn), 6) AS score_n FROM pr{PR_
     )
 
 
+# --- synth-page fixtures: the generator's independently recorded ground
+# truth (FIXTURES.md; pytest pins each fixture to a fresh regeneration) ---
+_PAGES_GOLDEN_FIX = "/root/repo/fixtures/pages_golden_1000_seed42.parquet"
+_EDGE_MANIFEST_FIX = "/root/repo/fixtures/edge_manifest_1000_seed42.parquet"
+_HOST_RE_SQL = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"  # mirrors hostgraph._HOST_PATTERN
+
+# page edge table recomputed from ground truth: dense vids are the rank of
+# the crawled url in sorted order (build_url_map: distinct -> sort ->
+# zip_with_index), edges to non-crawled urls drop at the id join
+# (restrict_to_crawled), exact (src,dst) dedup
+_PAGE_EDGES_SQL = f"""
+WITH um AS MATERIALIZED (
+  SELECT url, CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS vid
+  FROM '{_PAGES_GOLDEN_FIX}')
+SELECT DISTINCT s.vid AS src, d.vid AS dst
+FROM '{_EDGE_MANIFEST_FIX}' m
+JOIN um s ON m.src_url = s.url
+JOIN um d ON m.dst_url = d.url"""
+
+# host-graph rollup of the deduped crawled-only page edges: weight = number
+# of distinct page-level (src,dst) links between the host pair (self-loops
+# kept), matching kkray.io.hostgraph.host_edges
+_HOST_EDGES_SQL = f"""
+WITH um AS MATERIALIZED (SELECT url FROM '{_PAGES_GOLDEN_FIX}'),
+pe AS MATERIALIZED (
+  SELECT DISTINCT m.src_url, m.dst_url
+  FROM '{_EDGE_MANIFEST_FIX}' m
+  JOIN um s ON m.src_url = s.url
+  JOIN um d ON m.dst_url = d.url)
+SELECT regexp_extract(src_url, '{_HOST_RE_SQL}', 1) AS src_host,
+       regexp_extract(dst_url, '{_HOST_RE_SQL}', 1) AS dst_host,
+       count(*) AS weight
+FROM pe GROUP BY src_host, dst_host"""
+
+
+def _host_pagerank_sql() -> str:
+    """Unrolled weighted PageRank over the host rollup, keyed by host
+    string; vertex universe = every crawled host (v_num = len(host_map)),
+    matching _q_host_pagerank exactly."""
+    pre = f"""
+WITH hedges AS MATERIALIZED ({_HOST_EDGES_SQL}),
+verts AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(url, '{_HOST_RE_SQL}', 1) AS v
+  FROM '{_PAGES_GOLDEN_FIX}'),
+nn AS MATERIALIZED (SELECT count(*) AS cnt FROM verts),
+outw AS MATERIALIZED (SELECT src_host AS v, SUM(weight) AS d FROM hedges GROUP BY src_host),
+pr0 AS (SELECT v, 1.0/(SELECT cnt FROM nn) AS score FROM verts)"""
+    its = []
+    for k in range(1, PR_ITERS + 1):
+        p = k - 1
+        its.append(
+            f""",
+dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.score),0) AS s FROM pr{p} p LEFT JOIN outw o ON p.v=o.v WHERE o.v IS NULL),
+agg{k} AS MATERIALIZED (SELECT e.dst_host AS v, SUM(p.score*e.weight/o.d) AS s
+           FROM hedges e JOIN pr{p} p ON e.src_host=p.v JOIN outw o ON e.src_host=o.v GROUP BY e.dst_host),
+pr{k} AS MATERIALIZED (SELECT vt.v,
+                 (1-{PR_DAMPING})/(SELECT cnt FROM nn)
+                 + {PR_DAMPING}*(COALESCE(a.s,0)+(SELECT s FROM dang{k})/(SELECT cnt FROM nn)) AS score
+          FROM verts vt LEFT JOIN agg{k} a ON vt.v=a.v)"""
+        )
+    return (
+        pre
+        + "".join(its)
+        + f"""
+SELECT v AS host, ROUND(score*(SELECT cnt FROM nn), 6) AS score_n FROM pr{PR_ITERS}"""
+    )
+
+
 PPR_SEEDS = 5  # personalized teleport set = the 5 smallest vertex ids
 
 
@@ -596,16 +664,19 @@ def _q_metapath(sf_dir: str):
 
 
 def _q_extract_text(sf_dir: str):
+    """Frozen text extraction over the synth pages, returning the extracted
+    bytes themselves — hash-oracled against the generator's golden `text`
+    column persisted as fixtures/pages_golden_1000_seed42.parquet (the
+    byte-identical-per-url invariant, adjudicated on the actual bytes; a
+    pytest pins the fixture to a fresh regeneration)."""
     import ray.data
     from kkray.io.extract import ExtractText
     from kkray.io.synth import synth_pages
 
     pages_tbl, _ = synth_pages(1000, seed=42)
-    golden = {u: t for u, t in zip(pages_tbl.column("url").to_pylist(), pages_tbl.column("text").to_pylist())}
     pages = ray.data.from_arrow(pages_tbl.drop_columns(["text"]))
     out = pages.map_batches(ExtractText, batch_format="pyarrow", concurrency=4).to_pandas()
-    out["byte_identical"] = [golden[u] == t for u, t in zip(out["url"], out["text"])]
-    return out[["url", "byte_identical"]].sort_values("url").reset_index(drop=True)
+    return out[["url", "text"]].sort_values("url").reset_index(drop=True)
 
 
 def _q_page_anchors(sf_dir: str):
@@ -1539,6 +1610,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY text""",
+        # text extraction adjudicated on the actual bytes: oracle = the
+        # generator's golden `text` column (written independently of the
+        # HTML renderer), persisted as a pinned fixture
+        "extract_text_pages": f"""
+            SELECT url, text FROM '{_PAGES_GOLDEN_FIX}' ORDER BY url""",
+        # page edge table recomputed in SQL from the generator's edge
+        # manifest (sorted-url dense vids + crawled-only join + dedup)
+        "page_edges": _PAGE_EDGES_SQL,
+        "host_edges_synth": _HOST_EDGES_SQL,
+        "host_pagerank_synth": _host_pagerank_sql(),
         # the anchor extractor's oracle is the generator's independently
         # recorded ground truth (anchors captured BEFORE HTML rendering),
         # persisted to a repo fixture; a pytest pins fixture == fresh

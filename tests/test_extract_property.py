@@ -112,6 +112,31 @@ def test_anchor_manifest_fixture_matches_regeneration():
     pd.testing.assert_frame_equal(fix, exp)
 
 
+def test_pages_golden_and_edge_manifest_fixtures_match_regeneration():
+    """Same pin for the fixtures behind the extract_text_pages /
+    page_edges / host_edges_synth / host_pagerank_synth SQL oracles:
+    golden texts and the edge manifest must equal a fresh regeneration,
+    and the manifest urls must already be in canonical (normalized) form
+    so the SQL's string equality matches the extractor's output."""
+    import pandas as pd
+
+    from kkray.io.extract import normalize_url
+    from kkray.io.synth import synth_pages
+
+    tbl, meta = synth_pages(1000, seed=42)
+    exp_golden = pd.DataFrame(
+        {"url": tbl.column("url").to_pylist(), "text": tbl.column("text").to_pylist()}
+    )
+    fix_golden = pd.read_parquet("/root/repo/fixtures/pages_golden_1000_seed42.parquet")
+    pd.testing.assert_frame_equal(fix_golden, exp_golden)
+
+    exp_edges = pd.DataFrame(meta.expected_edges, columns=["src_url", "dst_url"])
+    fix_edges = pd.read_parquet("/root/repo/fixtures/edge_manifest_1000_seed42.parquet")
+    pd.testing.assert_frame_equal(fix_edges, exp_edges)
+    for col in ("src_url", "dst_url"):
+        assert all(normalize_url(u) == u for u in fix_edges[col].unique())
+
+
 @settings(max_examples=120, deadline=None)
 @given(parts=st.lists(FRAGMENTS, min_size=0, max_size=25), base=st.sampled_from(
     ["http://base.com/dir/page.html", "https://B.org:443/", "http://x.com"]))
