@@ -1990,6 +1990,42 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_event_type": """
             SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY event_type ORDER BY event_type""",
+        # exact SQL re-implementation of the HyperLogLog sketch
+        # (kkray.ops.grouped_approx_distinct, p=12): pandas' int64 hash is
+        # the bare splitmix64 finalizer (no increment), reproduced with the
+        # same 32-bit-split HUGEINT multiplies as doc_fingerprints; rho uses
+        # the SAME float64 floor(log2) (+ clip) as the numpy kernel so the
+        # two sides agree bit-for-bit on register values, then the standard
+        # alpha_m*m^2/sum(2^-rho) estimate with the linear-counting branch
+        "approx_distinct_users_per_event_type": r"""
+            WITH h0 AS (SELECT event_type, user_id::UBIGINT AS x FROM events),
+            m1 AS (SELECT event_type,
+                   ((xor(x, x >> 30)::HUGEINT % 4294967296) * 13787848793156543929::HUGEINT
+                    + ((((xor(x, x >> 30)::HUGEINT // 4294967296)
+                         * (13787848793156543929::HUGEINT % 4294967296)) % 4294967296) * 4294967296)
+                   ) % 18446744073709551616::HUGEINT AS xh FROM h0),
+            m2 AS (SELECT event_type,
+                   ((xor(xh::UBIGINT, xh::UBIGINT >> 27)::HUGEINT % 4294967296) * 10723151780598845931::HUGEINT
+                    + ((((xor(xh::UBIGINT, xh::UBIGINT >> 27)::HUGEINT // 4294967296)
+                         * (10723151780598845931::HUGEINT % 4294967296)) % 4294967296) * 4294967296)
+                   ) % 18446744073709551616::HUGEINT AS xh FROM m1),
+            hh AS (SELECT event_type, xor(xh::UBIGINT, xh::UBIGINT >> 31) AS h FROM m2),
+            reg AS (SELECT event_type, (h >> 52)::BIGINT AS b,
+                    ((h::HUGEINT * 4096) % 18446744073709551616::HUGEINT)::UBIGINT | 4095::UBIGINT AS rest
+                    FROM hh),
+            rho AS (SELECT event_type, b,
+                    LEAST(GREATEST(LEAST(63 - CAST(FLOOR(LOG2(rest::DOUBLE)) AS BIGINT), 52) + 1, 1), 53) AS r
+                    FROM reg),
+            regs AS (SELECT event_type, b, MAX(r) AS mr FROM rho GROUP BY event_type, b),
+            est AS (SELECT event_type, SUM(POWER(2.0, -mr)) AS s_regs, COUNT(*) AS nregs
+                    FROM regs GROUP BY event_type),
+            fin AS (SELECT event_type,
+                    (0.7213/(1 + 1.079/4096)) * 4096.0 * 4096.0 / ((4096 - nregs) + s_regs) AS e,
+                    4096 - nregs AS zeros FROM est)
+            SELECT event_type,
+                   CAST(ROUND(CASE WHEN e <= 2.5*4096 AND zeros > 0
+                                   THEN 4096.0 * LN(4096.0/zeros) ELSE e END) AS BIGINT) AS approx_distinct
+            FROM fin ORDER BY event_type""",
         # composed pipeline oracle: the quality-filter signals, GROUP BY
         # text MIN(doc_id) dedup, and the hash-ranked sample stacked
         "curated_corpus": r"""

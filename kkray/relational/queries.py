@@ -158,9 +158,10 @@ def distinct_users_per_event_type(sf_dir: str) -> pd.DataFrame:
 
 def approx_distinct_users_per_event_type(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog grouped distinct (p=12, ~1.6% error) — the sketch path
-    beside the exact distinct_users_per_event_type; deterministic, so the
-    driver rows-only check is stable (accuracy is pytest-verified against
-    the exact counts)."""
+    beside the exact distinct_users_per_event_type; deterministic, and
+    hash-oracled against an exact SQL re-implementation of the sketch
+    (splitmix64 registers + estimate in __ray_entry__.oracle_sql);
+    accuracy vs exact counts is additionally pytest-verified."""
     from ..ops import grouped_approx_distinct
 
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
