@@ -165,6 +165,23 @@ class WalkMixin:
         self._wspec = spec
         self._wseed = int(seed)
         self._collect = collect_paths
+        # opt-in actor-side kernel profiler (KKRAY_WALK_PROF=1): cProfile
+        # around every step call, dumped via walk_prof_stats() — debug
+        # tooling only, zero cost when unset
+        self._prof = None
+        mode = __import__("os").environ.get("KKRAY_WALK_PROF")
+        if mode:
+            import cProfile
+
+            self._prof = cProfile.Profile()
+            if mode == "all":
+                # whole-process mode: capture Ray's python-side task loop
+                # (arg deserialization, return serialization) too; stays on
+                # until walk_prof_stats() is called
+                self._prof.enable()
+                self._prof_all = True
+            else:
+                self._prof_all = False
         self._fp: list[tuple] = []  # footprint chunks (wid, step, vertex)
         self._final: list[tuple] = []  # (wid, step, wstate) at termination — the reference's COLLECT_WALKER_INIT_STATE test hook (walk.hpp:1383-1456)
         self._nsteps = 0  # walked edges accepted on this shard (bench metric)
@@ -438,19 +455,48 @@ class WalkMixin:
         return np.clip(pos, base, self.csr.indptr[cur_local + 1] - 1)
 
     # ---------------------- first-order superstep ---------------------- #
+    # transport columns provably bounded by v_num / length / adj_cap: these
+    # ship as int32 whenever the graph fits 31 bits (wid additionally
+    # max-checked per bundle — walker counts aren't known shard-side).
+    # Values round-trip int64 -> int32 -> int64 exactly, so keyed-RNG
+    # replay, checkpoints and parity stay bit-identical; the win is HALF
+    # the mesh bytes — plasma put + page-zeroing traffic on one box, NIC
+    # bytes on a real cluster. dart stays float64 (acceptance compares
+    # must be exact); unknown columns (custom walk state) ship unchanged.
+    _XPORT32 = ("step", "cur", "prev", "cand", "pdeg", "padj")
+
+    def _transport_downcast(self, data: dict | None) -> dict | None:
+        if data is None or self.v_num >= (1 << 31):
+            return data
+        out = {}
+        for k, v in data.items():
+            if v.dtype == np.int64 and (
+                k in self._XPORT32
+                or (k == "wid" and (len(v) == 0 or int(v.max()) < (1 << 31)))
+            ):
+                v = v.astype(np.int32)
+            out[k] = v
+        return out
+
     def _slice_mine(self, b):
         """Incoming may be a broadcast bundle addressed to ALL shards:
         slice out the rows addressed to this one (zero-copy views into the
-        node-local plasma buffer). Plain dict envelopes pass through."""
+        node-local plasma buffer; int32 transport columns upcast back to
+        int64 — the only per-receiver copy). Plain dict envelopes pass
+        through."""
         if not isinstance(b, dict) or "_bounds" not in b:
             return b
         s, e = int(b["_bounds"][self.part_id]), int(b["_bounds"][self.part_id + 1])
         if e <= s:
             return None
-        env = {k: v[s:e] for k, v in b["data"].items()}
+        env = {
+            k: (v[s:e].astype(np.int64) if v.dtype == np.int32 else v[s:e])
+            for k, v in b["data"].items()
+        }
         if "padj" in b:
             ao = b["_padj_off"]
-            env["padj"] = b["padj"][int(ao[s]) : int(ao[e])]
+            pa_sl = b["padj"][int(ao[s]) : int(ao[e])]
+            env["padj"] = pa_sl.astype(np.int64) if pa_sl.dtype == np.int32 else pa_sl
         return env
 
     def walk_step_b(self, superstep: int, *bundles):
@@ -464,7 +510,7 @@ class WalkMixin:
         keys = list(out[present[0]].keys())
         data = {k: np.concatenate([out[p][k] for p in present]) for k in keys}
         bounds = np.concatenate([[0], np.cumsum(meta["sizes"])]).astype(np.int64)
-        return {"data": data, "_bounds": bounds}, meta
+        return {"data": self._transport_downcast(data), "_bounds": bounds}, meta
 
     def walk_step(self, superstep: int, *incoming):
         """Process all local walkers to termination or emigration.
@@ -1004,6 +1050,9 @@ class WalkMixin:
         data, padj_sorted, padj_off, bounds, counts = packed
         if data is None:
             return None, counts
+        data = self._transport_downcast(data)
+        if padj_sorted is not None and padj_sorted.dtype == np.int64 and self.v_num < (1 << 31):
+            padj_sorted = padj_sorted.astype(np.int32)
         return (
             {"data": data, "padj": padj_sorted, "_padj_off": padj_off, "_bounds": bounds},
             counts,
@@ -1012,9 +1061,28 @@ class WalkMixin:
     def n2v_step_b(self, superstep: int, *bundles):
         """Broadcast-bundle second-order superstep: every sender's bundle
         comes in (this shard slices its rows), ONE bundle + meta go out."""
-        return self._n2v_emit_b(
-            self._n2v_step_core(superstep, [self._slice_mine(b) for b in bundles])
-        )
+        if self._prof is not None and not self._prof_all:
+            self._prof.enable()
+        try:
+            return self._n2v_emit_b(
+                self._n2v_step_core(superstep, [self._slice_mine(b) for b in bundles])
+            )
+        finally:
+            if self._prof is not None and not self._prof_all:
+                self._prof.disable()
+
+    def walk_prof_stats(self, top: int = 40) -> str:
+        """Dump the KKRAY_WALK_PROF cProfile accumulated on this shard."""
+        if self._prof is None:
+            return ""
+        if getattr(self, "_prof_all", False):
+            self._prof.disable()
+        import io
+        import pstats
+
+        buf = io.StringIO()
+        pstats.Stats(self._prof, stream=buf).sort_stats("cumulative").print_stats(top)
+        return buf.getvalue()
 
     def _n2v_ub(self) -> float:
         spec = self._wspec
