@@ -635,21 +635,27 @@ class WalkMixin:
                 if (~stay).any():
                     mov = ~stay
                     moved += int(mov.sum())
-                    exm = advanced_ex(mov)
-                    mp = cpart[mov]
+                    # ONE target-sorted gather per column, then per-target
+                    # chunks are zero-copy slices — row order is identical
+                    # to the old mask-then-permute double index (same
+                    # stable argsort), so transport stays byte-identical
+                    midx = np.flatnonzero(mov)
+                    mp = cpart[midx]
                     order = np.argsort(mp, kind="stable")
+                    midx = midx[order]
                     bounds = np.searchsorted(mp[order], np.arange(self.num_parts + 1))
+                    wid_s, step_s, cur_s = wid_a[midx], step_a[midx], cand_a[midx]
+                    exm = advanced_ex(midx)
                     for p in range(self.num_parts):
                         s, e = bounds[p], bounds[p + 1]
                         if e > s:
-                            sl = order[s:e]
                             chunk = {
-                                "wid": wid_a[mov][sl],
-                                "step": step_a[mov][sl],
-                                "cur": cand_a[mov][sl],
+                                "wid": wid_s[s:e],
+                                "step": step_s[s:e],
+                                "cur": cur_s[s:e],
                             }
                             for k, v in exm.items():
-                                chunk[k] = v[sl]
+                                chunk[k] = v[s:e]
                             out_chunks[p].append(chunk)
                 # stayers continue the local loop
                 ns = stay
@@ -662,11 +668,18 @@ class WalkMixin:
                 new_step = new_cur = new_wid
                 new_ex = {k: np.empty(0, v.dtype) for k, v in ex.items()}
             r = ~a
-            wid = np.concatenate([new_wid, wid[r]])
-            step = np.concatenate([new_step, step[r]])
-            cur = np.concatenate([new_cur, cur[r]])
-            need_ext = np.concatenate([np.ones(len(new_wid), dtype=bool), np.zeros(int(r.sum()), dtype=bool)])
-            ex = {k: np.concatenate([new_ex[k], ex[k][r]]) for k in ex}
+            if not r.any():
+                # no rejections (the truncated/geometric common case):
+                # stayers ARE the next round's population — skip the
+                # rebuild concatenates
+                wid, step, cur, ex = new_wid, new_step, new_cur, new_ex
+                need_ext = np.ones(len(new_wid), dtype=bool)
+            else:
+                wid = np.concatenate([new_wid, wid[r]])
+                step = np.concatenate([new_step, step[r]])
+                cur = np.concatenate([new_cur, cur[r]])
+                need_ext = np.concatenate([np.ones(len(new_wid), dtype=bool), np.zeros(int(r.sum()), dtype=bool)])
+                ex = {k: np.concatenate([new_ex[k], ex[k][r]]) for k in ex}
             inner += 1
         out = []
         for p in range(self.num_parts):
