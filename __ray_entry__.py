@@ -512,6 +512,31 @@ def _q_triangles(sf_dir: str):
     return pd.DataFrame({"triangles": [n]})
 
 
+def _q_local_clustering(sf_dir: str):
+    """Per-vertex triangle counts + local clustering coefficient over the
+    co-occurrence graph: the streamed oriented wedge join with per-corner
+    attribution (kkray/analytics/triangles.py local_triangle_counts —
+    sparse shard-side increments, owner-routed once at end of stream),
+    SQL-oracled by a three-way self-join."""
+    from kkray.analytics import local_clustering
+
+    src, dst = _cooc_arrays(sf_dir)
+    g, verts = _dense_graph(src, dst)
+    with g:
+        tri, cc = local_clustering(g)
+    return (
+        pd.DataFrame(
+            {
+                "partkey": verts,
+                "n_tri": tri.astype("int64"),
+                "clustering": np.round(cc, 6),
+            }
+        )
+        .sort_values("partkey")
+        .reset_index(drop=True)
+    )
+
+
 def _q_pagerank_personalized(sf_dir: str):
     from kkray.analytics import pagerank
 
@@ -1556,10 +1581,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_pred": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "khop_neighbors": _q_khop_neighbors,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        # ---- position 51+ (past the driver window this round): all 22
-        # below are triple-green in CORRECTNESS_r04 (and most in r02/r03),
+        # NEW in r5: per-vertex clustering takes ngram_jaccard_pairs'
+        # window slot (that query is triple-green in CORRECTNESS_r04)
+        "local_clustering": _q_local_clustering,
+        # ---- position 51+ (past the driver window this round): all 23
+        # below are triple-green in a past round (most in CORRECTNESS_r04),
         # re-verified each round by tools/check_contract.py ----
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_token_counts": _q_doc_tokens,
         "doc_char_digit_counts": _q_doc_chars,
@@ -1607,6 +1635,27 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS MATERIALIZED ({_COOC_HALF_SQL})
             SELECT count(*) AS triangles
             FROM e a JOIN e b ON b.src=a.dst JOIN e c ON c.src=a.src AND c.dst=b.dst""",
+        # per-vertex triangle participation + local clustering: each
+        # ordered triangle (x<y<z by id) credits all three corners; the
+        # undirected simple degree comes from the both-direction expansion
+        "local_clustering": f"""
+            WITH e AS MATERIALIZED ({_COOC_HALF_SQL}),
+            tri AS MATERIALIZED (
+              SELECT a.src AS x, a.dst AS y, b.dst AS z
+              FROM e a JOIN e b ON b.src=a.dst JOIN e c ON c.src=a.src AND c.dst=b.dst),
+            tv AS (SELECT v, count(*)::BIGINT AS n_tri FROM (
+                     SELECT x AS v FROM tri UNION ALL
+                     SELECT y FROM tri UNION ALL
+                     SELECT z FROM tri) GROUP BY v),
+            deg AS (SELECT v, count(*)::BIGINT AS d FROM (
+                     SELECT src AS v FROM e UNION ALL SELECT dst FROM e) GROUP BY v)
+            SELECT deg.v AS partkey,
+                   COALESCE(tv.n_tri, 0) AS n_tri,
+                   ROUND(CASE WHEN deg.d >= 2
+                              THEN 2.0*COALESCE(tv.n_tri, 0)/(deg.d*(deg.d-1))
+                              ELSE 0.0 END, 6) AS clustering
+            FROM deg LEFT JOIN tv ON tv.v = deg.v
+            ORDER BY partkey""",
         "doc_dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY text""",

@@ -119,6 +119,13 @@ def run_benchmarks() -> dict:
         # several-fold under host CPU steal; the min reflects capability
         extras["triangle_count"] = timed_best("triangles", lambda: triangle_count(gu), reps=2)
         if not CORE_ONLY:
+            # per-vertex attribution variant (local clustering numerator):
+            # same wedge stream + sparse owner-routed corner credits
+            from kkray.analytics import local_triangle_counts
+
+            tri_v = timed_best("local_clustering", lambda: local_triangle_counts(gu), reps=2)
+            assert int(tri_v.sum()) == 3 * int(extras["triangle_count"])
+        if not CORE_ONLY:
             # min-of-2 like the synth legs: these are latency-bound meshes
             # on a small graph, and host steal swings one-shot wall times
             timed_best(

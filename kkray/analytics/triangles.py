@@ -21,16 +21,12 @@ import numpy as np
 import ray
 
 
-def triangle_count(graph, chunk_pairs: int = 1 << 22, max_inflight: int | None = None) -> int:
-    """Streamed wedge join: each shard enumerates its wedges in chunks of
-    at most ``chunk_pairs`` pair indices (bounded memory even on hub-heavy
-    shards), and probe counts are drained with a sliding ray.wait window so
-    wedge blocks are freed as soon as they're counted."""
+def _tri_orient(graph) -> list[int]:
+    """Distributed degree-join orientation + per-shard wedge totals: shards
+    request neighbour degrees from owners (ref-routed, O(unique dst) per
+    shard) — no dense O(V) rank array is built anywhere, driver included."""
     actors = graph.actors
     P = graph.num_parts
-    # distributed degree-join orientation: shards request neighbour
-    # degrees from owners (ref-routed, O(unique dst) per shard) — no
-    # dense O(V) rank array is built anywhere, driver included
     if P == 1:
         # single shard owns every vertex: skip the exchange entirely
         # (num_returns=1 would leave the packed 1-tuples unsplit)
@@ -42,7 +38,17 @@ def triangle_count(graph, chunk_pairs: int = 1 << 22, max_inflight: int | None =
             for p in range(P)
         ]
         ray.get([actors[q].tri_build.remote(*[resp[p][q] for p in range(P)]) for q in range(P)])
-    totals = ray.get([a.tri_total_pairs.remote() for a in actors])
+    return ray.get([a.tri_total_pairs.remote() for a in actors])
+
+
+def triangle_count(graph, chunk_pairs: int = 1 << 22, max_inflight: int | None = None) -> int:
+    """Streamed wedge join: each shard enumerates its wedges in chunks of
+    at most ``chunk_pairs`` pair indices (bounded memory even on hub-heavy
+    shards), and probe counts are drained with a sliding ray.wait window so
+    wedge blocks are freed as soon as they're counted."""
+    actors = graph.actors
+    P = graph.num_parts
+    totals = _tri_orient(graph)
     if max_inflight is None:
         max_inflight = 8 * P
     total_tri = 0
@@ -71,3 +77,67 @@ def triangle_count(graph, chunk_pairs: int = 1 << 22, max_inflight: int | None =
             break
     total_tri += int(sum(ray.get(inflight)))
     return total_tri
+
+
+def local_triangle_counts(
+    graph, chunk_pairs: int = 1 << 22, max_inflight: int | None = None
+) -> np.ndarray:
+    """Per-vertex triangle participation counts (the numerator of the local
+    clustering coefficient) over the undirected simple expansion.
+
+    Same streamed oriented wedge join as triangle_count, but chunks carry
+    the wedge apex u so the probe side credits all three corners of every
+    matched triangle; increments accumulate SPARSELY shard-side and are
+    owner-routed once at the end of the stream (tri_vc_route /
+    tri_vc_gather) — never a dense O(V) structure mid-stream. The returned
+    dense vector is driver-side result delivery only (same contract as
+    pagerank())."""
+    actors = graph.actors
+    P = graph.num_parts
+    totals = _tri_orient(graph)
+    if max_inflight is None:
+        max_inflight = 8 * P
+    inflight: list = []
+    cursors = [0] * P
+    while True:
+        progressed = False
+        for q in range(P):
+            if cursors[q] >= totals[q]:
+                continue
+            lo = cursors[q]
+            hi = min(lo + chunk_pairs, totals[q])
+            cursors[q] = hi
+            if P == 1:
+                w = actors[q].tri_wedges_chunk_u.remote(lo, hi)
+                inflight.append(actors[0].tri_count_attr_packed.remote(w))
+            else:
+                w = actors[q].tri_wedges_chunk_u.options(num_returns=P).remote(lo, hi)
+                inflight.extend(actors[p].tri_count_attr.remote(w[p]) for p in range(P))
+            progressed = True
+            while len(inflight) > max_inflight:
+                done, inflight = ray.wait(inflight, num_returns=len(inflight) - max_inflight)
+                ray.get(done)
+        if not progressed:
+            break
+    ray.get(inflight)  # stream fully drained before the flush
+    if P == 1:
+        route = actors[0].tri_vc_route.remote()
+        dense = [ray.get(actors[0].tri_vc_gather_packed.remote(route))]
+    else:
+        routes = [a.tri_vc_route.options(num_returns=P).remote() for a in actors]
+        dense = ray.get(
+            [actors[p].tri_vc_gather.remote(*[routes[q][p] for q in range(P)]) for p in range(P)]
+        )
+    return np.concatenate(dense)
+
+
+def local_clustering(graph, chunk_pairs: int = 1 << 22, max_inflight: int | None = None):
+    """(per-vertex triangle counts, local clustering coefficients) over the
+    undirected simple expansion: cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)),
+    0 where deg < 2."""
+    tri = local_triangle_counts(graph, chunk_pairs=chunk_pairs, max_inflight=max_inflight)
+    deg = graph.out_degrees()
+    denom = deg * (deg - 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cc = np.where(denom > 0, 2.0 * tri / denom, 0.0)
+    return tri, cc

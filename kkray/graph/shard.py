@@ -724,48 +724,64 @@ class ShardCore(WalkMixin):
         self._tri_cum = np.concatenate([[0], np.cumsum(npairs)]).astype(np.int64)
         return int(self._tri_cum[-1])
 
-    def tri_wedges_chunk(self, lo: int, hi: int):
-        """Enumerate oriented wedges for GLOBAL pair indices [lo, hi) only
-        (streamed chunks — a hub-heavy shard never materializes all its
-        O(Σdeg²) wedges at once); bucket queries by part(v). Returns P
-        (v_global, w_rank) pair-arrays.
+    def _tri_pairs(self, lo: int, hi: int):
+        """Expand GLOBAL pair indices [lo, hi) of the oriented adjacency to
+        (u_local, v, w) wedge triples (streamed chunks — a hub-heavy shard
+        never materializes all its O(Σdeg²) wedges at once).
 
         Pair index r within a vertex is inverted to the adjacency pair
         (i, j) with the triangular-number formula (float sqrt + integer
         correction) — no python loop over vertices."""
+        if hi <= lo:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
         adj = self._tri_adj
         indptr = self._tri_indptr
         cum = self._tri_cum
-        if hi > lo:
-            # vertex range covering [lo, hi): per-pair owner via ONE
-            # np.repeat over clipped per-vertex counts (sequential) instead
-            # of a binary search per pair (8x faster on 40M-pair shards)
-            v0 = int(np.searchsorted(cum, lo, side="right") - 1)
-            v1 = int(np.searchsorted(cum, hi, side="left"))
-            reps = np.clip(cum[v0 + 1 : v1 + 1], lo, hi) - np.clip(cum[v0:v1], lo, hi)
-            u_rep = np.repeat(np.arange(v0, v1, dtype=np.int64), reps)
-            r_glob = np.arange(lo, hi, dtype=np.int64)
-            r = r_glob - cum[u_rep]
-            j = ((1.0 + np.sqrt(1.0 + 8.0 * r.astype(np.float64))) // 2).astype(np.int64)
-            j = np.where(j * (j - 1) // 2 > r, j - 1, j)
-            j = np.where((j + 1) * j // 2 <= r, j + 1, j)
-            i = r - j * (j - 1) // 2
-            base = indptr[u_rep]
-            v_arr = adj[base + i]
-            w_arr = adj[base + j]
-        else:
-            v_arr = np.empty(0, dtype=np.int64)
-            w_arr = np.empty(0, dtype=np.int64)
+        # vertex range covering [lo, hi): per-pair owner via ONE
+        # np.repeat over clipped per-vertex counts (sequential) instead
+        # of a binary search per pair (8x faster on 40M-pair shards)
+        v0 = int(np.searchsorted(cum, lo, side="right") - 1)
+        v1 = int(np.searchsorted(cum, hi, side="left"))
+        reps = np.clip(cum[v0 + 1 : v1 + 1], lo, hi) - np.clip(cum[v0:v1], lo, hi)
+        u_rep = np.repeat(np.arange(v0, v1, dtype=np.int64), reps)
+        r_glob = np.arange(lo, hi, dtype=np.int64)
+        r = r_glob - cum[u_rep]
+        j = ((1.0 + np.sqrt(1.0 + 8.0 * r.astype(np.float64))) // 2).astype(np.int64)
+        j = np.where(j * (j - 1) // 2 > r, j - 1, j)
+        j = np.where((j + 1) * j // 2 <= r, j + 1, j)
+        i = r - j * (j - 1) // 2
+        base = indptr[u_rep]
+        return u_rep, adj[base + i], adj[base + j]
+
+    @staticmethod
+    def _tri_bucket(vpart, num_parts, *cols):
+        """Target-sorted single gather per column -> per-target slices."""
+        order = np.argsort(vpart, kind="stable")
+        bounds = np.searchsorted(vpart[order], np.arange(num_parts + 1))
+        sorted_cols = [c[order] for c in cols]
+        return tuple(
+            tuple(c[bounds[p] : bounds[p + 1]] for c in sorted_cols) for p in range(num_parts)
+        )
+
+    def tri_wedges_chunk(self, lo: int, hi: int):
+        """Oriented wedges for pair indices [lo, hi), bucketed by part(v).
+        Returns P (v_global, w) pair-arrays."""
+        _, v_arr, w_arr = self._tri_pairs(lo, hi)
         if self.num_parts == 1:
             return ((v_arr, w_arr),)
-        vpart = part_of(v_arr, self.boundaries)
-        order = np.argsort(vpart, kind="stable")
-        bounds = np.searchsorted(vpart[order], np.arange(self.num_parts + 1))
-        out = []
-        for p in range(self.num_parts):
-            s, e = bounds[p], bounds[p + 1]
-            out.append((v_arr[order[s:e]], w_arr[order[s:e]]))
-        return tuple(out)
+        return self._tri_bucket(part_of(v_arr, self.boundaries), self.num_parts, v_arr, w_arr)
+
+    def tri_wedges_chunk_u(self, lo: int, hi: int):
+        """Per-vertex-attribution variant: ships (u_global, v, w) so the
+        probe side can credit all three corners of a matched triangle."""
+        u_loc, v_arr, w_arr = self._tri_pairs(lo, hi)
+        u_arr = u_loc + self.lo
+        if self.num_parts == 1:
+            return ((u_arr, v_arr, w_arr),)
+        return self._tri_bucket(
+            part_of(v_arr, self.boundaries), self.num_parts, u_arr, v_arr, w_arr
+        )
 
     def tri_count(self, *query_batches) -> int:
         """Count how many queried (v, w) oriented edges exist locally.
@@ -788,6 +804,82 @@ class ShardCore(WalkMixin):
             keys = (((v_glob - self.lo).astype(np.uint64) << np.uint64(32)) | w_glob.astype(np.uint64)) + np.uint64(1)
             total += int(probe_u64_hash(table, mask, keys).sum())
         return total
+
+    def tri_probe_mask(self, v_glob: np.ndarray, w_glob: np.ndarray) -> np.ndarray:
+        """Membership mask for queried (v, w) oriented edges (v owned here)."""
+        comp = self._tri_comp
+        if len(comp) == 0 or len(v_glob) == 0:
+            return np.zeros(len(v_glob), dtype=bool)
+        if getattr(self, "_tri_hash", None) is None:
+            from .csr import build_u64_hash
+
+            self._tri_hash = build_u64_hash(comp + np.uint64(1))
+        from .csr import probe_u64_hash
+
+        table, mask = self._tri_hash
+        keys = (
+            ((v_glob - self.lo).astype(np.uint64) << np.uint64(32)) | w_glob.astype(np.uint64)
+        ) + np.uint64(1)
+        return probe_u64_hash(table, mask, keys)
+
+    def tri_count_attr(self, batch) -> int:
+        """Probe a (u, v, w) wedge chunk and CREDIT matched triangles to all
+        three corners. Increments accumulate SPARSELY shard-side as
+        (vertex, count) pairs (pre-combined per chunk with np.unique) —
+        never a dense O(V) array; tri_vc_route ships them owner-bucketed
+        once at the end of the stream."""
+        u_glob, v_glob, w_glob = batch
+        hit = self.tri_probe_mask(np.asarray(v_glob, np.int64), np.asarray(w_glob, np.int64))
+        n = int(hit.sum())
+        if n:
+            corners = np.concatenate([u_glob[hit], v_glob[hit], w_glob[hit]])
+            ids, counts = np.unique(corners, return_counts=True)
+            if not hasattr(self, "_tri_vc"):
+                self._tri_vc = []
+            self._tri_vc.append((ids, counts))
+        return n
+
+    def tri_count_attr_packed(self, packed) -> int:
+        """num_parts==1 path: unpack the single-ref 1-tuple."""
+        return self.tri_count_attr(packed[0])
+
+    def tri_vc_gather_packed(self, packed) -> np.ndarray:
+        """num_parts==1 path: tri_vc_route's 1-tuple arrives in one ref."""
+        return self.tri_vc_gather(*packed)
+
+    def tri_vc_route(self):
+        """End-of-stream flush: merge the accumulated sparse increments and
+        bucket them by owner — P (ids, counts) batches."""
+        pairs = getattr(self, "_tri_vc", [])
+        self._tri_vc = []
+        if pairs:
+            all_ids = np.concatenate([p[0] for p in pairs])
+            all_cnt = np.concatenate([p[1] for p in pairs])
+            # re-combine across chunks (sorted ids -> reduceat segments)
+            order = np.argsort(all_ids, kind="stable")
+            ids_s, cnt_s = all_ids[order], all_cnt[order]
+            starts = np.flatnonzero(np.concatenate([[True], ids_s[1:] != ids_s[:-1]]))
+            ids_u = ids_s[starts]
+            cnt_u = np.add.reduceat(cnt_s, starts)
+        else:
+            ids_u = np.empty(0, np.int64)
+            cnt_u = np.empty(0, np.int64)
+        vpart = part_of(ids_u, self.boundaries)
+        bounds = np.searchsorted(vpart, np.arange(self.num_parts + 1))  # ids_u sorted -> parts sorted
+        return tuple(
+            (ids_u[bounds[p] : bounds[p + 1]], cnt_u[bounds[p] : bounds[p + 1]])
+            for p in range(self.num_parts)
+        )
+
+    def tri_vc_gather(self, *batches) -> np.ndarray:
+        """Sum owner-routed (ids, counts) batches into this shard's dense
+        per-vertex triangle counts (O(V/P) local array)."""
+        acc = np.zeros(self.csr.size, dtype=np.int64)
+        for ids, counts in batches:
+            if len(ids):
+                # ids are unique within one sender's batch -> fancy += is exact
+                acc[np.asarray(ids, np.int64) - self.lo] += counts
+        return acc
 
     # ------------------- HITS (hubs & authorities) --------------------- #
     # auth_k = normalize2(A^T hub_{k-1}); hub_k = normalize2(A auth_k).

@@ -92,6 +92,27 @@ def triangle_oracle(src, dst, v):
     return count
 
 
+def local_tri_oracle(src, dst, v):
+    """Brute-force per-vertex triangle participation counts."""
+    import numpy as np
+
+    nbrs = [set() for _ in range(v)]
+    for a, b in zip(src.tolist(), dst.tolist()):
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    t = np.zeros(v, dtype=np.int64)
+    for u in range(v):
+        for w in nbrs[u]:
+            if w > u:
+                for x in nbrs[u] & nbrs[w]:
+                    if x > w:
+                        t[u] += 1
+                        t[w] += 1
+                        t[x] += 1
+    return t
+
+
 def hits_oracle(src, dst, v, iters):
     """Dense HITS power iteration (L2-normalized each half-step)."""
     hub = np.ones(v, dtype=np.float64)

@@ -56,6 +56,24 @@ def test_triangle_count_exact(ray_session, v, e, parts):
     assert got == triangle_oracle(src, dst, v)
 
 
+@pytest.mark.parametrize("v,e,parts", [(30, 120, 1), (30, 120, 3), (150, 1500, 4), (400, 6000, 6)])
+def test_local_clustering_exact(ray_session, v, e, parts):
+    from kkray.analytics import local_clustering
+
+    from graphgen import local_tri_oracle
+
+    src, dst = random_edges(v, e, seed=29 + v, undirected=True)
+    with Graph.from_arrays(src, dst, num_parts=parts, v_num=v) as g:
+        tri, cc = local_clustering(g, chunk_pairs=1 << 8)  # force multi-chunk streaming
+        deg = g.out_degrees()
+    exp = local_tri_oracle(src, dst, v)
+    assert np.array_equal(tri, exp)
+    exp_cc = np.where(deg >= 2, 2.0 * exp / np.maximum(deg * (deg - 1), 1), 0.0)
+    assert np.allclose(cc, exp_cc)
+    # corner credits are consistent with the global count
+    assert tri.sum() == 3 * triangle_oracle(src, dst, v)
+
+
 def test_degree_aware_boundaries_balance():
     from kkray.graph import degree_aware_boundaries
 
