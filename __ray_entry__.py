@@ -537,6 +537,20 @@ def _q_local_clustering(sf_dir: str):
     )
 
 
+def _q_assortativity(sf_dir: str):
+    """Degree assortativity of the co-occurrence graph — exact integer
+    moment partials per shard folded in unbounded ints, one float quotient
+    (kkray/analytics/triangles.py degree_assortativity), so the SQL oracle
+    agrees bit-for-bit before the 6-decimal round."""
+    from kkray.analytics import degree_assortativity
+
+    src, dst = _cooc_arrays(sf_dir)
+    g, _ = _dense_graph(src, dst)
+    with g:
+        r = degree_assortativity(g)
+    return pd.DataFrame({"assortativity": [float(np.round(r, 6))]})
+
+
 def _q_pagerank_personalized(sf_dir: str):
     from kkray.analytics import pagerank
 
@@ -1580,13 +1594,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # newly-oracled (r5) / re-architected (r5) ops: need fresh driver rows
         "langid_pred": _q_langid,
         "doc_fingerprints": _q_fingerprints,
-        "khop_neighbors": _q_khop_neighbors,
-        # NEW in r5: per-vertex clustering takes ngram_jaccard_pairs'
-        # window slot (that query is triple-green in CORRECTNESS_r04)
+        # NEW in r5: per-vertex clustering and degree assortativity take
+        # the window slots of khop_neighbors / ngram_jaccard_pairs (both
+        # triple-green in CORRECTNESS_r04)
         "local_clustering": _q_local_clustering,
-        # ---- position 51+ (past the driver window this round): all 23
+        "degree_assortativity": _q_assortativity,
+        # ---- position 51+ (past the driver window this round): all 24
         # below are triple-green in a past round (most in CORRECTNESS_r04),
         # re-verified each round by tools/check_contract.py ----
+        "khop_neighbors": _q_khop_neighbors,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_token_counts": _q_doc_tokens,
@@ -1656,6 +1672,20 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS clustering
             FROM deg LEFT JOIN tv ON tv.v = deg.v
             ORDER BY partkey""",
+        # Pearson of (deg(src), deg(dst)) over the directed edges of the
+        # undirected expansion; HUGEINT moments stay exact like the
+        # engine's python-int fold, so only the final quotient is float
+        "degree_assortativity": f"""
+            WITH e AS MATERIALIZED ({_COOC_BOTH_SQL}),
+            deg AS MATERIALIZED (SELECT src AS v, count(*)::BIGINT AS d FROM e GROUP BY src),
+            m AS (SELECT count(*)::HUGEINT AS n,
+                         SUM(d1.d)::HUGEINT AS sx, SUM(d2.d)::HUGEINT AS sy,
+                         SUM(d1.d*d2.d)::HUGEINT AS sxy,
+                         SUM(d1.d*d1.d)::HUGEINT AS sx2, SUM(d2.d*d2.d)::HUGEINT AS sy2
+                  FROM e JOIN deg d1 ON e.src = d1.v JOIN deg d2 ON e.dst = d2.v)
+            SELECT ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / SQRT(CAST((n*sx2 - sx*sx)*(n*sy2 - sy*sy) AS DOUBLE)), 6) AS assortativity
+            FROM m""",
         "doc_dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY text""",

@@ -131,6 +131,37 @@ def local_triangle_counts(
     return np.concatenate(dense)
 
 
+def degree_assortativity(graph) -> float:
+    """Degree assortativity coefficient (Newman 2002): Pearson correlation
+    of (deg(u), deg(v)) over the directed edges of the undirected
+    expansion. Neighbour degrees come from the same owner-routed join as
+    the triangle orientation; each shard returns six exact integer moment
+    partials, the driver folds them in unbounded python ints, and the
+    final quotient is one float division — so the engine and a SQL oracle
+    agree bit-for-bit before rounding."""
+    import math
+
+    actors = graph.actors
+    P = graph.num_parts
+    if P == 1:
+        parts = [ray.get(actors[0].assort_partials_local.remote())]
+    else:
+        reqs = [a.tri_deg_requests.options(num_returns=P).remote() for a in actors]
+        resp = [
+            actors[p].tri_deg_lookup.options(num_returns=P).remote(*[reqs[q][p] for q in range(P)])
+            for p in range(P)
+        ]
+        parts = ray.get(
+            [actors[q].assort_partials.remote(*[resp[p][q] for p in range(P)]) for q in range(P)]
+        )
+    n, sx, sy, sxy, sx2, sy2 = (sum(p[i] for p in parts) for i in range(6))
+    d1 = n * sx2 - sx * sx
+    d2 = n * sy2 - sy * sy
+    if n == 0 or d1 <= 0 or d2 <= 0:
+        return float("nan")  # degree-regular (or empty) graph: undefined
+    return float(n * sxy - sx * sy) / math.sqrt(float(d1 * d2))
+
+
 def local_clustering(graph, chunk_pairs: int = 1 << 22, max_inflight: int | None = None):
     """(per-vertex triangle counts, local clustering coefficients) over the
     undirected simple expansion: cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)),

@@ -839,6 +839,39 @@ class ShardCore(WalkMixin):
             self._tri_vc.append((ids, counts))
         return n
 
+    def assort_partials(self, *deg_batches):
+        """Exact integer moment partials for degree assortativity over this
+        shard's directed edge slice: (n, Σx, Σy, Σxy, Σx², Σy²) with
+        x = deg(src), y = deg(dst). Neighbour degrees arrive through the
+        same owner-routed join layout as tri_deg_requests (call it first);
+        python-int exact so the driver's Pearson fold matches the SQL
+        oracle bit-for-bit before any rounding. int64 moment sums are
+        exact up to ~9e18 — Σdeg² with un-split mega-hubs can exceed that
+        at extreme scale; build with split_threshold off but shard smaller,
+        or split hubs (assortativity only needs degrees, not adjacency)."""
+        uniq = self._tri_uniq
+        b = self._tri_uniq_bounds
+        udeg = np.empty(len(uniq), dtype=np.int64)
+        for p, batch in enumerate(deg_batches):
+            udeg[b[p] : b[p + 1]] = batch
+        dst = self.csr.indices
+        y = udeg[np.searchsorted(uniq, dst)]
+        src_idx = np.repeat(np.arange(self.csr.size, dtype=np.int64), self.outdeg)
+        x = self.outdeg_full[src_idx]
+        return (
+            int(len(dst)),
+            int(x.sum()),
+            int(y.sum()),
+            int((x * y).sum()),
+            int((x * x).sum()),
+            int((y * y).sum()),
+        )
+
+    def assort_partials_local(self):
+        """num_parts==1 path: every neighbour degree is owned here."""
+        (ids,) = self.tri_deg_requests()
+        return self.assort_partials(self.outdeg_full[ids - self.lo])
+
     def tri_count_attr_packed(self, packed) -> int:
         """num_parts==1 path: unpack the single-ref 1-tuple."""
         return self.tri_count_attr(packed[0])

@@ -74,6 +74,18 @@ def test_local_clustering_exact(ray_session, v, e, parts):
     assert tri.sum() == 3 * triangle_oracle(src, dst, v)
 
 
+@pytest.mark.parametrize("v,e,parts", [(30, 120, 1), (150, 1500, 4), (400, 6000, 6)])
+def test_degree_assortativity_matches_corrcoef(ray_session, v, e, parts):
+    from kkray.analytics import degree_assortativity
+
+    src, dst = random_edges(v, e, seed=31 + v, undirected=True)
+    with Graph.from_arrays(src, dst, num_parts=parts, v_num=v) as g:
+        got = degree_assortativity(g)
+    deg = np.bincount(src, minlength=v)  # out-degree of the expansion == undirected degree
+    exp = np.corrcoef(deg[src], deg[dst])[0, 1]
+    assert np.isclose(got, exp, atol=1e-12)
+
+
 def test_degree_aware_boundaries_balance():
     from kkray.graph import degree_aware_boundaries
 
