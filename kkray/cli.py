@@ -69,6 +69,7 @@ def main(argv=None):
     lp = sub.add_parser("lp", parents=[common])
     lp.add_argument("--iters", type=int, default=5)
     sub.add_parser("triangles", parents=[common])
+    sub.add_parser("clustering", parents=[common], help="per-vertex triangles + local clustering + assortativity")
 
     ht = sub.add_parser("hits", parents=[common])
     ht.add_argument("--iters", type=int, default=20)
@@ -320,6 +321,25 @@ def main(argv=None):
         with _load_graph(args, undirected=True) as g:
             n = triangle_count(g)
         print(json.dumps({"cmd": "triangles", "triangles": n, "sec": round(time.perf_counter() - t0, 2)}))
+    elif args.cmd == "clustering":
+        from .analytics import degree_assortativity, local_clustering
+
+        with _load_graph(args, undirected=True) as g:
+            tri, cc = local_clustering(g)
+            r = degree_assortativity(g)
+            v = np.arange(g.v_num, dtype=np.int64)
+        ray.data.from_arrow(pa.table({"vid": v, "n_tri": tri, "clustering": cc})).write_parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    "cmd": "clustering",
+                    "vertices": len(v),
+                    "avg_clustering": round(float(cc.mean()) if len(cc) else 0.0, 6),
+                    "assortativity": None if np.isnan(r) else round(r, 6),
+                    "sec": round(time.perf_counter() - t0, 2),
+                }
+            )
+        )
     elif args.cmd == "walk":
         from .walk import deepwalk, mh_walk, node2vec, ppr_walk
 
